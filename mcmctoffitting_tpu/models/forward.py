@@ -1,0 +1,209 @@
+"""The unified, jitted TOF forward model.
+
+The reference duplicates ``generateModelData`` in ~9 driver scripts
+(canonical versions: ``tests/simultFit.py:223-300`` (ODE transport path) and
+``tests/csi_oneBD.py:415-521`` (spline-table path); PPC variant
+``utilities/ppcTools.py:113-193``).  Here there is ONE forward model,
+``tof_spectrum``, configured by a frozen (hashable -> jit-static)
+:class:`ForwardSpec`; the historical variants are spec presets in
+``models/simult.py`` / ``models/onebd.py``.
+
+TPU-first structure (one fused XLA program, no host round-trips):
+
+  1. sample N initial deuteron energies (beamE - lognorm, masked redraw);
+  2. transport ALL samples through ALL x-bin centers at once
+     (fixed-step RK4 batch, or one gather+Horner spline-table lookup —
+     replacing per-call dopri5 / per-sample Python spline loops);
+  3. cross-section (+ cell-attenuation) weights and the per-x-bin energy
+     histograms as one-hot MXU matmuls (ops/histogram.py) — replacing
+     numpy histogram loops;
+  4. TOF synthesis on the (x-bin, eD-bin[, zero-degree-segment]) lattice as
+     a closed-form broadcast — replacing the ``np.ndenumerate`` Python loop
+     (``tests/simultFit.py:286-296``);
+  5. TOF histogram, timing convolutions, scale, optional Poisson background.
+
+Everything has static shapes; per-run bin-count differences are handled by
+compiling one program per (spec, window) pair.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Binning, cell_attenuation_coeffs
+from ..constants import CellGeometry, TofWindow, masses
+from ..ops.histogram import histogram_density, weighted_histogram
+from ..ops.interp import CubicSpline1D
+from ..ops.kinematics import dd_neutron_energy, tof
+from ..ops.pdfs import beam_energy_rvs
+from ..ops.stopping import BetheStopping, StoppingTable, rk4_transport
+from ..ops.timing import (ExGaussianTiming, GaussianTiming,
+                          ZeroDegreeTimingSpread, apply_zero_degree_expo,
+                          zero_degree_expo_kernel)
+from ..ops.xs import ddn_xs
+
+
+@dataclasses.dataclass(frozen=True)
+class ForwardSpec:
+    """Static configuration of the forward model (jit-static argument).
+
+    Fields map 1:1 onto the knobs scattered through the reference drivers;
+    see the preset builders in ``models/simult.py`` and ``models/onebd.py``.
+    """
+
+    geometry: CellGeometry
+    ed_binning: Binning
+    x_binning: Binning
+    stopping: BetheStopping
+    xs: CubicSpline1D = ddn_xs
+    # 'rk4' = batch RK4 transport (reference ODE path);
+    # 'table' = StoppingTable lookup (reference betheApprox path)
+    transport: str = "rk4"
+    stopping_table: Optional[StoppingTable] = None
+    rk4_substeps: int = 4
+    # timing response applied to the binned TOF spectrum
+    beam_timing: object = ExGaussianTiming()
+    # zero-degree detector transit: 'segments' (10-segment analytic spread,
+    # simultFit era), 'expo' (7-point exponential kernel, oneBD era), 'none'
+    zero_degree: str = "segments"
+    # multiply per-x weights by exp(-x/20cm) beam attenuation (oneBD)
+    cell_attenuation: bool = False
+    # add the detector half-length to the neutron flight path (the v1-era
+    # models; simultFit dropped it: tests/simultFit.py:290-292)
+    add_half_zero_deg: bool = False
+    n_samples: int = 200_000
+    # round the normalized (x, eD) weight grid to integer draw counts like
+    # the reference's rint(dataHist * nSamples) (tests/simultFit.py:283)
+    rint_draws: bool = True
+    n_redraw_rounds: int = 8
+    histogram_chunk: int = 16384
+
+    def ed_centers(self) -> np.ndarray:
+        return self.ed_binning.centers
+
+    def en_centers(self) -> np.ndarray:
+        return np.asarray(dd_neutron_energy(self.ed_binning.centers))
+
+
+def _transport_all(spec: ForwardSpec, e_zeros):
+    """(N,) initial energies -> (x_bins, N) energies at each x-bin center."""
+    if spec.transport == "table":
+        if spec.stopping_table is None:
+            raise ValueError("transport='table' requires stopping_table")
+        return spec.stopping_table.eval_stopped(e_zeros).T  # (M, N)
+    return rk4_transport(spec.stopping.dedx, e_zeros,
+                         spec.x_binning.centers,
+                         n_substeps=spec.rk4_substeps)
+
+
+def energy_weight_grid(spec: ForwardSpec, e_zeros):
+    """Steps 2-3: transported energies -> XS-weighted (x_bins, eD_bins) grid.
+
+    Mirrors the per-x-bin weighted histograms of the reference
+    (``tests/simultFit.py:256-265``, ``tests/csi_oneBD.py:452-465``) as one
+    batched one-hot matmul.
+    """
+    e_at_x = _transport_all(spec, e_zeros)  # (M, N)
+    w = spec.xs(e_at_x)
+    if spec.cell_attenuation:
+        atten = jnp.asarray(cell_attenuation_coeffs(spec.x_binning.centers),
+                            dtype=w.dtype)
+        w = w * atten[:, None]
+    eb = spec.ed_binning
+    grid = weighted_histogram(e_at_x, eb.lo, eb.hi, eb.n, w,
+                              chunk=spec.histogram_chunk)  # (M, Be)
+    return grid, e_at_x
+
+
+def cell_tof_lattice(spec: ForwardSpec, standoff: float, e0_mean):
+    """Step 4: closed-form TOF value for every (x-bin, eD-bin) lattice cell.
+
+    tof = tof_d((e0_mean + eD_j)/2, x_i) + tof_n(eN_j, L - x_i + standoff)
+    (``tests/simultFit.py:286-296``).  Only the deuteron leg depends on the
+    (traced) e0_mean; the neutron leg is a trace-time constant.
+    """
+    x = jnp.asarray(spec.x_binning.centers, dtype=jnp.float32)        # (M,)
+    ed = jnp.asarray(spec.ed_binning.centers, dtype=jnp.float32)      # (Be,)
+    en = jnp.asarray(spec.en_centers(), dtype=jnp.float32)            # (Be,)
+    eff_ed = (e0_mean + ed) / 2.0                                     # (Be,)
+    tof_d = tof(masses.deuteron, eff_ed[None, :], x[:, None])         # (M,Be)
+    n_dist = spec.geometry.cell_length - x[:, None] + standoff
+    if spec.add_half_zero_deg:
+        n_dist = n_dist + spec.geometry.zero_deg_length / 2.0
+    tof_n = tof(masses.neutron, en[None, :], n_dist)                  # (M,Be)
+    return tof_d + tof_n
+
+
+def tof_spectrum(key, params, spec: ForwardSpec, standoff: float,
+                 window: TofWindow, *, get_pdf: bool = False,
+                 scale: float | jax.Array = 1.0,
+                 bg_level: Optional[jax.Array] = None,
+                 return_spectra: bool = False):
+    """Generate one model TOF spectrum (the reference ``generateModelData``).
+
+    Args:
+      key: PRNG key (pseudo-marginal likelihood: fresh draws per eval,
+        as in the reference where every lnlike call re-samples).
+      params: (beam_e, e_loss, scale_lognorm, s) beam-energy parameters.
+      spec: static ForwardSpec.
+      standoff: detector standoff distance (cm), static or traced.
+      window: static TofWindow (bin count fixes output shape).
+      get_pdf: density-normalize the TOF histogram before scaling
+        (reference getPDF flag).
+      scale: per-run scale factor (theta component).
+      bg_level: if not None, adds Poisson(bg_level)-distributed counts per
+        bin (oneBD background, ``tests/csi_oneBD.py:521``).
+      return_spectra: also return (eD weight grid, eN spectrum vs x) for
+        PPC (``utilities/ppcTools.py:113-193`` returns these alongside).
+
+    Returns: (n_bins,) spectrum, or (spectrum, grid, eN_at_x) tuple.
+    """
+    beam_e, e_loss, scale_ln, s = params[0], params[1], params[2], params[3]
+    k_draw, k_bg = jax.random.split(key)
+    e_zeros = beam_energy_rvs(k_draw, spec.n_samples, beam_e, e_loss,
+                              scale_ln, s, spec.n_redraw_rounds)
+    grid, _ = energy_weight_grid(spec, e_zeros)          # (M, Be)
+
+    # normalize to a PDF over the (x, eD) area then convert to draw counts
+    # (tests/simultFit.py:279-283)
+    area = spec.ed_binning.width * spec.x_binning.width
+    grid = grid / (jnp.sum(grid) * area)
+    draws = grid * spec.n_samples
+    if spec.rint_draws:
+        draws = jnp.rint(draws)
+
+    e0_mean = jnp.mean(e_zeros)
+    base_tof = cell_tof_lattice(spec, standoff, e0_mean)  # (M, Be)
+
+    if spec.zero_degree == "segments":
+        zd = ZeroDegreeTimingSpread(length=spec.geometry.zero_deg_length)
+        zt, zw = zd.times_and_weights(
+            jnp.asarray(spec.en_centers(), dtype=jnp.float32))  # (Be, K)
+        values = base_tof[:, :, None] + zt[None, :, :]
+        weights = draws[:, :, None] * zw[None, :, :]
+    else:
+        values = base_tof
+        weights = draws
+
+    hist = weighted_histogram(values.reshape(-1), window.lo, window.hi,
+                              window.n_bins, weights.reshape(-1),
+                              chunk=spec.histogram_chunk)
+    if get_pdf:
+        hist = histogram_density(hist, window.lo, window.hi)
+
+    if spec.zero_degree == "expo":
+        hist = apply_zero_degree_expo(hist)
+
+    out = scale * spec.beam_timing.apply_spreading(hist)
+    if bg_level is not None:
+        out = out + jax.random.poisson(
+            k_bg, bg_level, (window.n_bins,)).astype(out.dtype)
+
+    if return_spectra:
+        en_at_x = draws  # weight per (x, eD) cell == neutron yield spectrum
+        return out, grid, en_at_x
+    return out

@@ -1,0 +1,143 @@
+"""The csi_oneBD flagship model: most-evolved fitter, 9 parameters.
+
+Preset mirroring ``tests/csi_oneBD.py``: fixed beam reference energy
+2490 keV (``:426``, ``constants/constants.py:128``), theta = (eLoss, scale,
+s, N_1..N_3, BG_1..BG_3); spline-table stopping (betheApprox grid
+(100, 2400, 100), ``:293-295``), cell attenuation weights, Gaussian beam
+timing (sigma=2.7, 4 ns bins, ``:266``), exponential 0-degree transit kernel
+(``:406-408``), per-run Poisson background (``:521``), binning presets
+default (100 eD x 10 x) and -hardcore (400 x 20) (``:199-205``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import deuteron_binning_onebd, x_binning_onebd
+from ..constants import (TUNL_SSA_CSI_ONEBD, TofWindow, onebd_consts,
+                         tof_windows_onebd)
+from ..ops.likelihoods import box_lnprior, poisson_binned_loglike
+from ..ops.stopping import StoppingTable, d2_gas_stopping
+from ..ops.timing import GaussianTiming
+from .forward import ForwardSpec, tof_spectrum
+
+RUN_LAYOUT = ("close", "mid", "far")
+
+# parameter bounds (tests/csi_oneBD.py:595-606)
+ELOSS_LO, ELOSS_HI = 200.0, 2000.0
+SCALE_LO, SCALE_HI = 10.0, 700.0
+S_LO, S_HI = 0.05, 3.0
+NORM_LO, NORM_HI = 1e3, 1.0e8
+BG_LO, BG_HI = 0.0, 1e3
+
+STOPPING_TABLE_BINNING = (100.0, 2400.0, 100.0)
+
+
+@functools.lru_cache(maxsize=8)
+def _build_table(rho: float, x_binning_n: int) -> StoppingTable:
+    stopping = d2_gas_stopping(rho=rho)
+    return StoppingTable.build(stopping, STOPPING_TABLE_BINNING,
+                               x_binning_onebd(x_binning_n).centers)
+
+
+def default_spec(n_samples: int = 200_000, *,
+                 hardcore: bool = False) -> ForwardSpec:
+    """oneBD forward spec; density 4x (2 atm run, tests/csi_oneBD.py:273)."""
+    rho = 4 * 8.565e-5
+    ed_bins, x_bins = (400, 20) if hardcore else (100, 10)
+    return ForwardSpec(
+        geometry=TUNL_SSA_CSI_ONEBD,
+        ed_binning=deuteron_binning_onebd(ed_bins),
+        x_binning=x_binning_onebd(x_bins),
+        stopping=d2_gas_stopping(rho=rho),
+        transport="table",
+        stopping_table=_build_table(rho, x_bins),
+        beam_timing=GaussianTiming(2.7, 4),
+        zero_degree="expo",
+        cell_attenuation=True,
+        n_samples=n_samples,
+        # the oneBD driver disabled the redraw loop (tests/csi_oneBD.py:440)
+        n_redraw_rounds=0,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class OneBDProblem:
+    """Static joint-fit problem for the oneBD campaign."""
+
+    spec: ForwardSpec
+    n_runs: int = 3
+
+    @property
+    def standoffs(self) -> tuple[float, ...]:
+        g = self.spec.geometry
+        return tuple(g.standoff(name) for name in RUN_LAYOUT[: self.n_runs])
+
+    @property
+    def windows(self) -> tuple[TofWindow, ...]:
+        return tuple(tof_windows_onebd[name]
+                     for name in RUN_LAYOUT[: self.n_runs])
+
+    @property
+    def n_dim(self) -> int:
+        return 3 + 2 * self.n_runs
+
+    @property
+    def param_lo(self) -> np.ndarray:
+        return np.concatenate([[ELOSS_LO, SCALE_LO, S_LO],
+                               np.full(self.n_runs, NORM_LO),
+                               np.full(self.n_runs, BG_LO)])
+
+    @property
+    def param_hi(self) -> np.ndarray:
+        return np.concatenate([[ELOSS_HI, SCALE_HI, S_HI],
+                               np.full(self.n_runs, NORM_HI),
+                               np.full(self.n_runs, BG_HI)])
+
+    def initial_walkers_from_observed(self, key, n_walkers, observed,
+                                      guesses=(1300.0, 80.0, 0.6),
+                                      bg_guess: float = 20.0):
+        norm_guesses = np.array([float(np.sum(o)) for o in observed])
+        g = np.concatenate([np.asarray(guesses), norm_guesses,
+                            np.full(self.n_runs, bg_guess)])
+        agit = np.concatenate([[50.0, 10.0, 0.05], 0.15 * norm_guesses,
+                               np.full(self.n_runs, 2.0)])
+        noise = jax.random.normal(key, (n_walkers, self.n_dim))
+        p0 = jnp.asarray(g) + jnp.asarray(agit) * noise
+        return jnp.clip(p0, jnp.asarray(self.param_lo) + 1e-3,
+                        jnp.asarray(self.param_hi) - 1e-3)
+
+    def run_spectrum(self, key, theta, run: int, *, get_pdf: bool = True):
+        """Model spectrum for one run: fixed beam reference energy, per-run
+        scale + Poisson background (tests/csi_oneBD.py:415-521)."""
+        beam_e = onebd_consts.beam_reference_energy
+        params = jnp.stack([jnp.asarray(beam_e, jnp.float32), theta[0],
+                            theta[1], theta[2]])
+        return tof_spectrum(key, params, self.spec, self.standoffs[run],
+                            self.windows[run], get_pdf=get_pdf,
+                            scale=theta[3 + run],
+                            bg_level=theta[3 + self.n_runs + run])
+
+    def log_prob(self, theta, key, observed) -> jax.Array:
+        prior = box_lnprior(theta, self.param_lo, self.param_hi,
+                            inclusive=True)
+        total = prior
+        for run in range(self.n_runs):
+            k_run = jax.random.fold_in(key, run)
+            model = self.run_spectrum(k_run, theta, run, get_pdf=True)
+            ll = poisson_binned_loglike(model, jnp.asarray(observed[run]))
+            total = total + ll
+        return jnp.where(jnp.isneginf(prior), -jnp.inf,
+                         jnp.where(jnp.isnan(total), -jnp.inf, total))
+
+    def make_log_prob_fn(self, observed):
+        obs = tuple(jnp.asarray(o, dtype=jnp.float32) for o in observed)
+
+        def logp(theta, key):
+            return self.log_prob(theta, key, obs)
+
+        return logp

@@ -1,0 +1,130 @@
+"""The simultFit flagship model: joint multi-standoff fit, 9 parameters.
+
+Preset mirroring ``tests/simultFit.py``: theta = (beamE, eLoss, scale, s,
+N_1..N_nruns); per-run forward spectra at (mid, close, close, far,
+production) standoffs with the 2016 CsI TOF windows; per-run binned-Poisson
+likelihood summed over runs (``compoundLnlike``, ``tests/simultFit.py:412-420``);
+table-driven box prior (``:424-442``).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SIMULTFIT_ED_BINNING, SIMULTFIT_X_BINNING
+from ..constants import TUNL_SSA_CSI, TofWindow, tof_windows
+from ..ops.likelihoods import box_lnprior, poisson_binned_loglike
+from ..ops.stopping import d2_gas_stopping
+from ..ops.timing import ExGaussianTiming
+from .forward import ForwardSpec, tof_spectrum
+
+# run index -> (standoff name, window name); tests/simultFit.py:121-156
+RUN_LAYOUT = ("mid", "close", "close", "far", "production")
+
+# parameter bounds (tests/simultFit.py:425-435)
+PARAM_LO_SHARED = np.array([1825.0, 600.0, 40.0, 0.1])
+PARAM_HI_SHARED = np.array([1925.0, 1000.0, 300.0, 1.2])
+SCALE_LO, SCALE_HI = 0.0, 1.0e6
+
+# initial guesses (tests/simultFit.py:535-547, 679-684)
+GUESS_SHARED = np.array([1878.4, 850.0, 170.0, 0.5])
+AGITATORS_SHARED = np.array([10.0, 50.0, 20.0, 0.1])
+
+
+def default_spec(n_samples: int = 200_000) -> ForwardSpec:
+    """Forward spec for the simultFit campaign (ODE/RK4 transport path)."""
+    return ForwardSpec(
+        geometry=TUNL_SSA_CSI,
+        ed_binning=SIMULTFIT_ED_BINNING,
+        x_binning=SIMULTFIT_X_BINNING,
+        stopping=d2_gas_stopping(rho=8.565e-5),
+        transport="rk4",
+        beam_timing=ExGaussianTiming(),
+        zero_degree="segments",
+        cell_attenuation=False,
+        n_samples=n_samples,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class SimultFitProblem:
+    """Static joint-fit problem: spec + per-run geometry/windows/bounds."""
+
+    spec: ForwardSpec
+    n_runs: int = 4
+
+    @property
+    def standoffs(self) -> tuple[float, ...]:
+        g = self.spec.geometry
+        return tuple(g.standoff(name) for name in RUN_LAYOUT[: self.n_runs])
+
+    @property
+    def windows(self) -> tuple[TofWindow, ...]:
+        return tuple(tof_windows[name] for name in RUN_LAYOUT[: self.n_runs])
+
+    @property
+    def n_dim(self) -> int:
+        return 4 + self.n_runs
+
+    @property
+    def param_lo(self) -> np.ndarray:
+        return np.concatenate([PARAM_LO_SHARED,
+                               np.full(self.n_runs, SCALE_LO)])
+
+    @property
+    def param_hi(self) -> np.ndarray:
+        return np.concatenate([PARAM_HI_SHARED,
+                               np.full(self.n_runs, SCALE_HI)])
+
+    def initial_walkers(self, key, n_walkers: int) -> jax.Array:
+        """guesses + agitators * randn (tests/simultFit.py:679-684).
+
+        Per-run scale guess/agitator come from the observed totals in the
+        reference; here the caller folds those in via ``scale_guesses``.
+        """
+        raise NotImplementedError("use initial_walkers_from_observed")
+
+    def initial_walkers_from_observed(self, key, n_walkers, observed):
+        scale_guesses = np.array([float(np.sum(o)) for o in observed])
+        guesses = np.concatenate([GUESS_SHARED, scale_guesses])
+        agitators = np.concatenate([AGITATORS_SHARED, 0.15 * scale_guesses])
+        noise = jax.random.normal(key, (n_walkers, self.n_dim))
+        return jnp.asarray(guesses) + jnp.asarray(agitators) * noise
+
+    def run_spectrum(self, key, theta, run: int, *, get_pdf: bool = True):
+        """Model spectrum for one run (generateModelData equivalent)."""
+        return tof_spectrum(key, theta[:4], self.spec, self.standoffs[run],
+                            self.windows[run], get_pdf=get_pdf,
+                            scale=theta[4 + run])
+
+    def log_prob(self, theta, key, observed) -> jax.Array:
+        """lnprob(theta) = box prior + sum of per-run Poisson loglikes.
+
+        ``observed``: tuple of per-run count histograms (static shapes).
+        Mirrors ``tests/simultFit.py:444-469`` with the -inf-prior shortcut
+        expressed as a multiplicative gate (XLA evaluates both branches; the
+        forward model is NaN-safe for out-of-range theta because the
+        likelihood maps NaN -> -inf).
+        """
+        prior = box_lnprior(theta, self.param_lo, self.param_hi,
+                            inclusive=True)
+        total = prior
+        for run in range(self.n_runs):
+            k_run = jax.random.fold_in(key, run)
+            model = self.run_spectrum(k_run, theta, run, get_pdf=True)
+            ll = poisson_binned_loglike(model, jnp.asarray(observed[run]))
+            total = total + ll
+        return jnp.where(jnp.isneginf(prior), -jnp.inf,
+                         jnp.where(jnp.isnan(total), -jnp.inf, total))
+
+    def make_log_prob_fn(self, observed):
+        """Closure (theta, key) -> logp for the sampler."""
+        obs = tuple(jnp.asarray(o, dtype=jnp.float32) for o in observed)
+
+        def logp(theta, key):
+            return self.log_prob(theta, key, obs)
+
+        return logp

@@ -1,0 +1,123 @@
+"""Spline/interpolation primitives.
+
+Host-side (numpy, f64) coefficient construction + device-side (jnp, f32)
+evaluation.  This split is deliberate TPU design: spline *fitting* is a tiny
+tridiagonal solve done once at model-build time on the host; spline
+*evaluation* is the hot path and lowers to a gather + fused Horner polynomial
+on the VPU, with no data-dependent control flow.
+
+Replaces the reference's ``scipy.interpolate.interp1d(kind='cubic')``
+(``utilities/utilities.py:412``) and the 1-D sections of
+``RectBivariateSpline`` (``utilities/ionStopping.py:130``).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def cubic_spline_coeffs(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Not-a-knot interpolating cubic spline coefficients.
+
+    Returns ``c`` of shape (4, n-1) such that on interval [x[i], x[i+1]]:
+        f(t) = c[0,i]*(t-x[i])^3 + c[1,i]*(t-x[i])^2 + c[2,i]*(t-x[i]) + c[3,i]
+
+    Matches scipy ``CubicSpline(x, y, bc_type='not-a-knot')`` (which is what
+    ``interp1d(kind='cubic')`` computes) to f64 round-off.  ``y`` may have
+    trailing batch dims: shape (n, ...) -> c shape (4, n-1, ...).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = x.shape[0]
+    if n < 4:
+        raise ValueError("not-a-knot spline needs >= 4 points")
+    h = np.diff(x)  # (n-1,)
+
+    y2 = y.reshape(n, -1)  # (n, m)
+    m = y2.shape[1]
+    slope = np.diff(y2, axis=0) / h[:, None]  # (n-1, m)
+
+    # Solve for first derivatives s_i with the not-a-knot banded system.
+    A = np.zeros((n, n))
+    b = np.zeros((n, m))
+    for i in range(1, n - 1):
+        A[i, i - 1] = h[i]
+        A[i, i] = 2.0 * (h[i] + h[i - 1])
+        A[i, i + 1] = h[i - 1]
+        b[i] = 3.0 * (h[i] * slope[i - 1] + h[i - 1] * slope[i])
+    # not-a-knot end conditions (Moler splinetx formulation: third
+    # derivative continuous across x[1] and x[n-2])
+    A[0, 0] = h[1]
+    A[0, 1] = h[0] + h[1]
+    b[0] = ((h[0] + 2.0 * (h[0] + h[1])) * h[1] * slope[0]
+            + h[0] * h[0] * slope[1]) / (h[0] + h[1])
+    A[-1, -2] = h[-1] + h[-2]
+    A[-1, -1] = h[-2]
+    b[-1] = ((h[-1] * h[-1] * slope[-2]
+              + (2.0 * (h[-1] + h[-2]) + h[-1]) * h[-2] * slope[-1])
+             / (h[-1] + h[-2]))
+
+    s = np.linalg.solve(A, b)  # (n, m) first derivatives at knots
+
+    # Convert to per-interval polynomial coefficients.
+    s0 = s[:-1]
+    s1 = s[1:]
+    hh = h[:, None]
+    c3 = (s0 + s1 - 2.0 * slope) / (hh * hh)
+    c2 = (3.0 * slope - 2.0 * s0 - s1) / hh
+    c1 = s0
+    c0 = y2[:-1]
+    coeffs = np.stack([c3, c2, c1, c0])  # (4, n-1, m)
+    return coeffs.reshape((4, n - 1) + y.shape[1:])
+
+
+@dataclasses.dataclass(frozen=True)
+class CubicSpline1D:
+    """Device-evaluable cubic spline (knots + per-interval coefficients).
+
+    ``clamp``: evaluate-time clamping of queries into [lo_clamp, hi_clamp]
+    (reference clamps XS queries to [20, 10000] keV,
+    ``utilities/utilities.py:415-429``).
+    """
+
+    knots: np.ndarray        # (n,)
+    coeffs: np.ndarray       # (4, n-1)
+    lo_clamp: float | None = None
+    hi_clamp: float | None = None
+
+    @classmethod
+    def build(cls, x, y, lo_clamp=None, hi_clamp=None) -> "CubicSpline1D":
+        x = np.asarray(x, dtype=np.float64)
+        return cls(x, cubic_spline_coeffs(x, np.asarray(y, dtype=np.float64)),
+                   lo_clamp, hi_clamp)
+
+    def __call__(self, t):
+        """Evaluate on device. t: jnp array of any shape."""
+        t = jnp.asarray(t)
+        if self.lo_clamp is not None or self.hi_clamp is not None:
+            t = jnp.clip(t, self.lo_clamp, self.hi_clamp)
+        knots = jnp.asarray(self.knots, dtype=t.dtype)
+        c = jnp.asarray(self.coeffs, dtype=t.dtype)
+        idx = jnp.clip(jnp.searchsorted(knots, t, side="right") - 1,
+                       0, knots.shape[0] - 2)
+        dt = t - knots[idx]
+        # Horner: ((c3*dt + c2)*dt + c1)*dt + c0
+        return ((c[0][idx] * dt + c[1][idx]) * dt + c[2][idx]) * dt + c[3][idx]
+
+    def __hash__(self):
+        return hash((self.knots.tobytes(), self.coeffs.tobytes(),
+                     self.lo_clamp, self.hi_clamp))
+
+    def __eq__(self, other):
+        return (isinstance(other, CubicSpline1D)
+                and np.array_equal(self.knots, other.knots)
+                and np.array_equal(self.coeffs, other.coeffs)
+                and self.lo_clamp == other.lo_clamp
+                and self.hi_clamp == other.hi_clamp)
+
+
+def linear_interp(xq, xp, fp):
+    """jnp.interp wrapper (uniform API with CubicSpline1D)."""
+    return jnp.interp(jnp.asarray(xq), jnp.asarray(xp), jnp.asarray(fp))

@@ -1,0 +1,121 @@
+"""Likelihoods and priors.
+
+Vectorized jnp re-implementations of the three likelihood families in the
+reference, preserving their (sometimes idiosyncratic) numerical semantics:
+
+* :func:`multinomial_loglike` — dot(log model-pdf, observed counts) with the
+  zero-observed / -inf guard (``utilities/utilities.py:100-124``).
+* :func:`poisson_binned_loglike` — the "poor man's poisson.logpmf" binned
+  form with zero-bin clamping and the int() truncation inside gammaln
+  (``tests/simultFit.py:380-409``), plus the oneBD NaN-bin guard
+  (``tests/csi_oneBD.py:543-575``).
+* :func:`template_gaussian_loglike` — the wide-Gaussian template likelihood
+  (``tests/devShapeTemplates.py:272-294``).
+* :func:`box_lnprior` — table-driven uniform box prior
+  (``tests/simultFit.py:424-442``).
+
+All return -inf (never NaN) on pathological inputs, reproducing the
+reference's NaN->-inf guard (``tests/simultFit.py:463-468``) inside the
+likelihood itself so jitted samplers never see NaN log-probabilities.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+
+def multinomial_loglike(model_pdf, observed):
+    """log L = sum_i obs_i * log(pdf_i) with the reference's zero guards.
+
+    Reference semantics (``utilities/utilities.py:113-124``): bins with zero
+    observed counts contribute 0 regardless of the model pdf (the explicit
+    index-fixing loop there reduces to exactly this); bins with data where
+    the model pdf is 0 drive the total to -inf.
+    """
+    model_pdf = jnp.asarray(model_pdf)
+    observed = jnp.asarray(observed)
+    logm = jnp.log(model_pdf)
+    contrib = jnp.where(observed > 0, observed * logm, 0.0)
+    total = jnp.sum(contrib)
+    return jnp.where(jnp.isnan(total), -jnp.inf, total)
+
+
+def poisson_binned_loglike(model_counts, observed_counts, *,
+                           nan_guard: bool = True):
+    """Reference binned-Poisson form (``tests/simultFit.py:389-409``).
+
+    Per bin (after clamping obs==0 -> 1 and model==0 -> 1):
+        p = -obs - gammaln(floor(model) + 1) + model * log(obs)
+        contribution = obs * p
+    NaN model bins contribute -inf when ``nan_guard`` (oneBD behavior,
+    ``tests/csi_oneBD.py:553-555``).
+    """
+    model = jnp.asarray(model_counts)
+    obs = jnp.asarray(observed_counts)
+    obs_c = jnp.where(obs == 0, 1.0, obs)
+    model_safe = jnp.where(jnp.isnan(model), 1.0, model)
+    model_c = jnp.where(model_safe == 0, 1.0, model_safe)
+    # int() in the reference truncates; model counts are >= 0 so floor == int
+    poi = (-obs_c - gammaln(jnp.floor(model_c) + 1.0)
+           + jnp.where(model_c > 0, model_c * jnp.log(obs_c), 0.0))
+    contrib = obs_c * poi
+    if nan_guard:
+        contrib = jnp.where(jnp.isnan(model), -jnp.inf, contrib)
+    total = jnp.sum(contrib)
+    return jnp.where(jnp.isnan(total), -jnp.inf, total)
+
+
+def poisson_logpmf_loglike(model_counts, observed_counts):
+    """Statistically-correct Poisson(obs | rate=model) binned likelihood.
+
+    Offered alongside the reference form as the documented improvement:
+    log pmf = obs * log(model) - model - gammaln(obs + 1).
+    Zero-model bins with data give -inf; zero-model zero-obs give 0.
+    """
+    model = jnp.asarray(model_counts)
+    obs = jnp.asarray(observed_counts)
+    safe_model = jnp.where(model > 0, model, 1.0)
+    logpmf = obs * jnp.log(safe_model) - model - gammaln(obs + 1.0)
+    logpmf = jnp.where((model <= 0) & (obs > 0), -jnp.inf, logpmf)
+    logpmf = jnp.where((model <= 0) & (obs == 0), 0.0, logpmf)
+    total = jnp.sum(logpmf)
+    return jnp.where(jnp.isnan(total), -jnp.inf, total)
+
+
+def template_gaussian_loglike(model_tof, observed):
+    """Wide-Gaussian template likelihood (``tests/devShapeTemplates.py:272-294``).
+
+    After clamping zero bins to 1:
+        logN(model | obs, 0.07 obs) + logN(obs | model, 0.15 model), summed.
+    Non-finite model spectra give -inf.
+    """
+    model = jnp.asarray(model_tof)
+    obs = jnp.asarray(observed)
+    obs_c = jnp.where(obs == 0, 1.0, obs)
+    model_c = jnp.where(model == 0, 1.0, model)
+
+    def norm_logpdf(x, mu, sigma):
+        return (-0.5 * jnp.log(2.0 * jnp.pi * sigma ** 2)
+                - (x - mu) ** 2 / (2.0 * sigma ** 2))
+
+    ll = jnp.sum(norm_logpdf(model_c, obs_c, obs_c * 0.07)
+                 + norm_logpdf(obs_c, model_c, model_c * 0.15))
+    finite = jnp.isfinite(jnp.sum(model))
+    return jnp.where(finite & ~jnp.isnan(ll), ll, -jnp.inf)
+
+
+def box_lnprior(theta, lo, hi, *, inclusive: bool = False):
+    """Uniform box prior: 0 inside, -inf outside.
+
+    ``inclusive=False`` uses strict inequalities like the early models
+    (``utilities/utilities.py:128-136``); the table-driven drivers use
+    closed bounds (``tests/simultFit.py:437-442``) -> ``inclusive=True``.
+    """
+    theta = jnp.asarray(theta)
+    lo = jnp.asarray(lo)
+    hi = jnp.asarray(hi)
+    if inclusive:
+        ok = jnp.all((theta >= lo) & (theta <= hi))
+    else:
+        ok = jnp.all((theta > lo) & (theta < hi))
+    return jnp.where(ok, 0.0, -jnp.inf)

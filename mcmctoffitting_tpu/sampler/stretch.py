@@ -1,0 +1,167 @@
+"""Native affine-invariant ensemble sampler (Goodman-Weare stretch move).
+
+Replaces emcee's ``EnsembleSampler`` (the reference drives it with
+``threads=N`` process pools or an ``MPIPool`` — ``tests/csi_oneBD.py:863-868``,
+``tests/simultFit.py:688-718``).  TPU-native design:
+
+* walkers are an **array axis**, not processes: the log-probability is
+  evaluated for a whole half-ensemble with one batched call (vmap inside;
+  shardable over a device mesh via ``parallel/mesh.py``);
+* the ensemble is split **red-black** (even/odd walker indices) so that when
+  the walker axis is sharded, both halves occupy every device (contiguous
+  halves would idle half the mesh during each half-update);
+* steps advance under ``jax.lax.scan`` — the entire chain segment is one
+  XLA program with zero host round-trips; chains are returned as device
+  arrays and streamed to disk by the caller at segment granularity;
+* stochastic ("pseudo-marginal") likelihoods get a fresh PRNG subkey per
+  (step, walker) eval, faithful to the reference's re-sampling likelihood
+  (``tests/simultFit.py:386-388``); retained log-probs are NOT re-evaluated,
+  matching emcee semantics.
+
+Move semantics match emcee's default stretch move: scale a=2, proposal
+z ~ g(z) with g ∝ 1/sqrt(z) on [1/a, a] via inverse-CDF
+z = ((a-1)u + 1)^2 / a, partner drawn uniformly from the complementary
+half, acceptance ln U < (D-1) ln z + logp(y) - logp(x).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class EnsembleState(NamedTuple):
+    """Resumable sampler state (checkpointable as a pytree)."""
+
+    positions: jax.Array   # (W, D)
+    log_probs: jax.Array   # (W,)
+    key: jax.Array         # PRNG key
+    step: jax.Array        # global step counter (for key folding)
+
+
+@dataclasses.dataclass
+class Chain:
+    """Sampled chain segment."""
+
+    positions: jax.Array      # (S, W, D)
+    log_probs: jax.Array      # (S, W)
+    n_accepted: jax.Array     # (W,) accepted moves in this segment
+    state: EnsembleState      # final state (resume from here)
+
+    @property
+    def acceptance_fraction(self):
+        return self.n_accepted / self.positions.shape[0]
+
+
+def make_logp_batch(log_prob_fn: Callable, *, stochastic: bool = True,
+                    chunk: Optional[int] = None) -> Callable:
+    """Lift a per-walker log_prob into a batched evaluator.
+
+    log_prob_fn(theta (D,), key) -> scalar   (stochastic=True)
+    log_prob_fn(theta (D,)) -> scalar        (stochastic=False)
+
+    ``chunk``: evaluate the batch in vmapped chunks via ``lax.map`` to bound
+    peak memory (the Monte-Carlo forward model holds O(n_samples * x_bins)
+    intermediates per walker).
+    """
+    if stochastic:
+        per = log_prob_fn
+    else:
+        def per(theta, key):
+            del key
+            return log_prob_fn(theta)
+
+    vm = jax.vmap(per)
+
+    def batch(thetas, keys):
+        if chunk is None or thetas.shape[0] <= chunk:
+            return vm(thetas, keys)
+        k = thetas.shape[0]
+        if k % chunk:
+            raise ValueError(f"batch {k} not divisible by chunk {chunk}")
+        thetas_c = thetas.reshape(k // chunk, chunk, -1)
+        keys_c = keys.reshape(k // chunk, chunk, *keys.shape[1:])
+        out = jax.lax.map(lambda ab: vm(ab[0], ab[1]), (thetas_c, keys_c))
+        return out.reshape(k)
+
+    return batch
+
+
+def init_state(key, p0, logp_batch) -> EnsembleState:
+    """Evaluate initial log-probs and build a state. p0: (W, D)."""
+    p0 = jnp.asarray(p0, dtype=jnp.float32)
+    n_walkers = p0.shape[0]
+    key, k0 = jax.random.split(key)
+    lp0 = logp_batch(p0, jax.random.split(k0, n_walkers))
+    return EnsembleState(p0, lp0, key, jnp.asarray(0, jnp.int32))
+
+
+def _half_update(pos, lp, parity, step_key, logp_batch, a, n_dim):
+    """Update the even (parity=0) or odd (parity=1) walkers."""
+    n_half = pos.shape[0] // 2
+    active = pos[parity::2]
+    passive = pos[1 - parity::2]
+    lp_active = lp[parity::2]
+
+    kz, kj, ku, ke = jax.random.split(step_key, 4)
+    u = jax.random.uniform(kz, (n_half,))
+    z = ((a - 1.0) * u + 1.0) ** 2 / a
+    j = jax.random.randint(kj, (n_half,), 0, n_half)
+    partners = passive[j]
+    proposal = partners + z[:, None] * (active - partners)
+
+    eval_keys = jax.random.split(ke, n_half)
+    lp_prop = logp_batch(proposal, eval_keys)
+
+    log_ratio = (n_dim - 1.0) * jnp.log(z) + lp_prop - lp_active
+    accept = jnp.log(jax.random.uniform(ku, (n_half,))) < log_ratio
+
+    new_active = jnp.where(accept[:, None], proposal, active)
+    new_lp_active = jnp.where(accept, lp_prop, lp_active)
+    pos = pos.at[parity::2].set(new_active)
+    lp = lp.at[parity::2].set(new_lp_active)
+    return pos, lp, accept
+
+
+def make_step(logp_batch, a: float = 2.0):
+    """One full ensemble step (both half-updates) as a scannable function."""
+
+    def step(state: EnsembleState, _):
+        pos, lp, key, step_idx = state
+        n_dim = pos.shape[1]
+        key, k_even, k_odd = jax.random.split(
+            jax.random.fold_in(key, step_idx), 3)
+        pos, lp, acc_e = _half_update(pos, lp, 0, k_even, logp_batch, a,
+                                      n_dim)
+        pos, lp, acc_o = _half_update(pos, lp, 1, k_odd, logp_batch, a,
+                                      n_dim)
+        accepted = jnp.zeros(pos.shape[0], jnp.int32)
+        accepted = accepted.at[0::2].set(acc_e.astype(jnp.int32))
+        accepted = accepted.at[1::2].set(acc_o.astype(jnp.int32))
+        new_state = EnsembleState(pos, lp, key, step_idx + 1)
+        return new_state, (pos, lp, accepted)
+
+    return step
+
+
+def run_mcmc(state: EnsembleState, n_steps: int, logp_batch, *,
+             a: float = 2.0, unroll: int = 1) -> Chain:
+    """Advance the ensemble ``n_steps`` steps under one ``lax.scan``."""
+    step = make_step(logp_batch, a)
+    final, (pos_hist, lp_hist, acc_hist) = jax.lax.scan(
+        step, state, None, length=n_steps, unroll=unroll)
+    return Chain(pos_hist, lp_hist, jnp.sum(acc_hist, axis=0), final)
+
+
+def sample(key, p0, n_steps: int, log_prob_fn, *, a: float = 2.0,
+           stochastic: bool = True, chunk: Optional[int] = None) -> Chain:
+    """One-call convenience API: init + run.
+
+    Mirrors ``EnsembleSampler(nWalkers, dim, lnprob).run_mcmc(p0, N)``.
+    """
+    logp_batch = make_logp_batch(log_prob_fn, stochastic=stochastic,
+                                 chunk=chunk)
+    state = init_state(key, p0, logp_batch)
+    return run_mcmc(state, n_steps, logp_batch, a=a)

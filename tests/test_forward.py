@@ -1,0 +1,174 @@
+"""Forward model: shape/semantics checks + distributional parity vs a
+f64 numpy oracle of the reference generateModelData pipeline."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcmctoffitting_tpu.constants import TofWindow
+from mcmctoffitting_tpu.models import onebd, simult
+from mcmctoffitting_tpu.models.forward import (cell_tof_lattice,
+                                               energy_weight_grid,
+                                               tof_spectrum)
+
+KEY = jax.random.PRNGKey(0)
+
+# small-sample specs so CPU tests stay fast
+SPEC_SIM = simult.default_spec(n_samples=20_000)
+SPEC_1BD = onebd.default_spec(n_samples=20_000)
+THETA_SIM = jnp.asarray([1878.4, 850.0, 170.0, 0.5])
+THETA_1BD = jnp.asarray([2490.0, 1300.0, 80.0, 0.6])
+
+
+def test_simult_spectrum_shape_and_finite():
+    win = TofWindow(175.0, 225.0, 50)
+    out = tof_spectrum(KEY, THETA_SIM, SPEC_SIM, 513.29, win, get_pdf=True,
+                       scale=1000.0)
+    out = np.asarray(out)
+    assert out.shape == (50,)
+    assert np.isfinite(out).all()
+    assert (out >= 0).all()
+    assert out.sum() > 0
+
+
+def test_simult_spectrum_scales_linearly():
+    win = TofWindow(175.0, 225.0, 50)
+    a = np.asarray(tof_spectrum(KEY, THETA_SIM, SPEC_SIM, 513.29, win,
+                                get_pdf=True, scale=1.0))
+    b = np.asarray(tof_spectrum(KEY, THETA_SIM, SPEC_SIM, 513.29, win,
+                                get_pdf=True, scale=250.0))
+    np.testing.assert_allclose(b, 250.0 * a, rtol=1e-5)
+
+
+def test_energy_weight_grid_shape():
+    e0 = jnp.linspace(600.0, 1100.0, 5000)
+    grid, e_at_x = energy_weight_grid(SPEC_SIM, e0)
+    assert grid.shape == (10, 50)
+    assert e_at_x.shape == (10, 5000)
+    # all transported energies below initial
+    assert float(jnp.max(e_at_x)) < 1100.0
+    assert float(jnp.sum(grid)) > 0
+
+
+def test_cell_tof_lattice_against_oracle():
+    from mcmctoffitting_tpu.constants import masses, physics
+    from mcmctoffitting_tpu.ops.kinematics import dd_neutron_energy
+    lat = np.asarray(cell_tof_lattice(SPEC_SIM, 500.0, jnp.float32(900.0)))
+    x = SPEC_SIM.x_binning.centers
+    ed = SPEC_SIM.ed_binning.centers
+    en = np.asarray(dd_neutron_energy(ed))
+    i, j = 3, 17
+    v_d = physics.speed_of_light * np.sqrt(2 * ((900.0 + ed[j]) / 2)
+                                           / masses.deuteron)
+    v_n = physics.speed_of_light * np.sqrt(2 * en[j] / masses.neutron)
+    want = x[i] / v_d + (2.86 - x[i] + 500.0) / v_n
+    np.testing.assert_allclose(lat[i, j], want, rtol=1e-5)
+
+
+def test_onebd_spectrum_with_background():
+    win = TofWindow(80.0, 180.0, 25)
+    out = np.asarray(tof_spectrum(
+        KEY, THETA_1BD, SPEC_1BD, 351.3, win, get_pdf=True,
+        scale=50000.0, bg_level=jnp.float32(20.0)))
+    assert out.shape == (25,)
+    assert np.isfinite(out).all()
+    # background adds O(20) counts/bin even where signal is 0
+    assert out.min() >= 0.0
+    assert out.mean() > 10.0
+
+
+def test_forward_distribution_against_numpy_oracle():
+    """Distributional check: the TPU forward spectrum (without rint/conv
+    quantization differences) agrees with an independent f64 numpy
+    implementation of the same pipeline to MC accuracy."""
+    from scipy.integrate import ode as sode
+    from scipy.interpolate import interp1d
+    from scipy.stats import lognorm
+
+    from mcmctoffitting_tpu.constants import masses, physics
+    from mcmctoffitting_tpu.ops.xs import DDN_ENERGIES_KEV, DDN_SIGMA_ZERO
+    import sys
+    sys.path.insert(0, "tests")
+    from test_stopping import oracle_dedx_d2
+
+    beam_e, e_loss, scale_ln, s = 1878.4, 850.0, 170.0, 0.5
+    spec = SPEC_SIM
+    rng = np.random.default_rng(123)
+    n = spec.n_samples
+    standoff, win = 513.29, TofWindow(175.0, 225.0, 50)
+
+    # oracle pipeline (f64, scipy) — reference semantics re-derived
+    ez = beam_e - lognorm.rvs(s, e_loss, scale_ln, size=n, random_state=rng)
+    for _ in range(4):
+        bad = ez <= 0
+        if not bad.any():
+            break
+        ez[bad] = beam_e - lognorm.rvs(s, e_loss, scale_ln, size=bad.sum(),
+                                       random_state=rng)
+    solver = sode(lambda x, y: oracle_dedx_d2(y)).set_integrator("dopri5")
+    solver.set_initial_value(ez)
+    xs_f = interp1d(DDN_ENERGIES_KEV, DDN_SIGMA_ZERO, kind="cubic")
+    eb, xb = spec.ed_binning, spec.x_binning
+    grid = np.zeros((xb.n, eb.n))
+    for i, x in enumerate(xb.centers):
+        sol = solver.integrate(x)
+        w = xs_f(np.clip(sol, 20.0, 10000.0))
+        grid[i], _ = np.histogram(sol, eb.n, (eb.lo, eb.hi), weights=w)
+    grid /= grid.sum() * eb.width * xb.width
+    draws = np.rint(grid * n)
+    import sys as _sys
+    _sys.path.insert(0, "tests")
+    from test_kinematics import oracle_dd_neutron_energy
+    e0m = ez.mean()
+    ed, en = eb.centers, oracle_dd_neutron_energy(eb.centers)
+    tof_vals, tof_w = [], []
+    seg = 3.81 / 10
+    xlocs = np.linspace(seg / 2, 3.81 - seg / 2, 10)
+    for i in range(xb.n):
+        for j in range(eb.n):
+            v_d = physics.speed_of_light * np.sqrt(
+                2 * ((e0m + ed[j]) / 2) / masses.deuteron)
+            v_n = physics.speed_of_light * np.sqrt(2 * en[j] / masses.neutron)
+            t0 = xb.centers[i] / v_d + (2.86 - xb.centers[i] + standoff) / v_n
+            sig = (4.83 / np.sqrt(en[j] / 1000) - 0.578) * 1e-24
+            zw = np.exp(-sig * 4.82e22 * xlocs)
+            zw /= zw.sum()
+            zt = xlocs / (physics.speed_of_light
+                          * np.sqrt(2 * en[j] / masses.neutron))
+            tof_vals.extend(t0 + zt)
+            tof_w.extend(draws[i, j] * zw)
+    oracle_hist, _ = np.histogram(tof_vals, win.n_bins, (win.lo, win.hi),
+                                  weights=tof_w, density=True)
+
+    got = np.asarray(tof_spectrum(jax.random.PRNGKey(99),
+                                  jnp.asarray([beam_e, e_loss, scale_ln, s]),
+                                  spec, standoff, win, get_pdf=True))
+    # undo the beam-timing convolution comparison by convolving the oracle
+    from mcmctoffitting_tpu.ops.timing import ExGaussianTiming
+    oracle_conv = np.convolve(oracle_hist, ExGaussianTiming().kernel, "same")
+
+    # different RNG streams: compare distributions, not bins exactly.
+    # normalize both and compare in L1 (MC noise at 20k samples ~ few %)
+    a = got / got.sum()
+    b = oracle_conv / oracle_conv.sum()
+    l1 = np.abs(a - b).sum()
+    assert l1 < 0.08, f"L1 distance {l1} too large"
+
+
+@pytest.mark.parametrize("problem_mod,theta", [
+    ("simult", None), ("onebd", None)])
+def test_problem_log_prob_finite(problem_mod, theta):
+    if problem_mod == "simult":
+        prob = simult.SimultFitProblem(SPEC_SIM, n_runs=2)
+        theta = jnp.asarray([1878.4, 850.0, 170.0, 0.5, 5e4, 5e4])
+    else:
+        prob = onebd.OneBDProblem(SPEC_1BD, n_runs=2)
+        theta = jnp.asarray([1300.0, 80.0, 0.6, 5e4, 5e4, 20.0, 20.0])
+    observed = tuple(
+        np.random.default_rng(1).poisson(200, w.n_bins).astype(np.float64)
+        for w in prob.windows)
+    lp = prob.log_prob(theta, KEY, observed)
+    assert np.isfinite(float(lp))
+    # out-of-prior theta -> -inf
+    bad = theta.at[0].set(-1e9)
+    assert float(prob.log_prob(bad, KEY, observed)) == -np.inf

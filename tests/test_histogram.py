@@ -1,0 +1,66 @@
+"""MXU one-hot histogram vs np.histogram semantics."""
+import jax
+import numpy as np
+import pytest
+
+from mcmctoffitting_tpu.ops.histogram import (histogram_density,
+                                              weighted_histogram)
+
+
+@pytest.mark.parametrize("method", ["onehot", "scatter"])
+def test_matches_numpy_histogram(method):
+    rng = np.random.default_rng(11)
+    vals = rng.uniform(-1.0, 11.0, 5000).astype(np.float32)  # incl. out-of-range
+    w = rng.uniform(0.0, 3.0, 5000).astype(np.float32)
+    got = np.asarray(weighted_histogram(vals, 0.0, 10.0, 25, w,
+                                        method=method, chunk=512))
+    want, _ = np.histogram(vals, bins=25, range=(0.0, 10.0), weights=w)
+    np.testing.assert_allclose(got, want.astype(np.float32), rtol=2e-5,
+                               atol=1e-3)
+
+
+def test_unweighted_counts():
+    rng = np.random.default_rng(5)
+    vals = rng.normal(5, 2, 4097).astype(np.float32)
+    got = np.asarray(weighted_histogram(vals, 0.0, 10.0, 20))
+    want, _ = np.histogram(vals, bins=20, range=(0.0, 10.0))
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+def test_right_edge_in_last_bin():
+    vals = np.array([10.0, 0.0, 9.9999], dtype=np.float32)
+    got = np.asarray(weighted_histogram(vals, 0.0, 10.0, 10))
+    assert got[-1] == 2.0  # value == hi included (np.histogram semantics)
+    assert got[0] == 1.0
+
+
+def test_batched_leading_dims():
+    rng = np.random.default_rng(2)
+    vals = rng.uniform(0, 1, (3, 4, 1000)).astype(np.float32)
+    w = rng.uniform(0, 1, (3, 4, 1000)).astype(np.float32)
+    got = np.asarray(weighted_histogram(vals, 0.0, 1.0, 16, w, chunk=128))
+    assert got.shape == (3, 4, 16)
+    for i in range(3):
+        for j in range(4):
+            want, _ = np.histogram(vals[i, j], 16, (0.0, 1.0),
+                                   weights=w[i, j])
+            np.testing.assert_allclose(got[i, j], want, rtol=1e-4, atol=1e-3)
+
+
+def test_density_conversion():
+    rng = np.random.default_rng(8)
+    vals = rng.uniform(0, 10, 2000).astype(np.float32)
+    h = weighted_histogram(vals, 0.0, 10.0, 25)
+    d = np.asarray(histogram_density(h, 0.0, 10.0))
+    want, _ = np.histogram(vals, 25, (0.0, 10.0), density=True)
+    np.testing.assert_allclose(d, want, rtol=1e-4)
+    np.testing.assert_allclose(d.sum() * (10.0 / 25), 1.0, rtol=1e-5)
+
+
+def test_jittable_and_grad_safe():
+    f = jax.jit(lambda v, w: weighted_histogram(v, 0.0, 1.0, 8, w, chunk=64))
+    v = np.random.default_rng(0).uniform(0, 1, 300).astype(np.float32)
+    w = np.ones(300, np.float32)
+    out = np.asarray(f(v, w))
+    want, _ = np.histogram(v, 8, (0.0, 1.0), weights=w)
+    np.testing.assert_allclose(out, want, rtol=1e-5)
