@@ -1,0 +1,157 @@
+"""CLI driver: csi_oneBD fit (flagship #2).
+
+TPU rebuild of ``python tests/csi_oneBD.py`` (``tests/csi_oneBD.py:58-76``
+argparse surface): fixed beam reference energy, per-run scale + Poisson
+background, spline-table stopping, cell attenuation, -qnd/-quickish/
+-hardcore sampling presets, -shiftTOF systematic.  Threads/MPI flags are
+replaced by device-mesh walker sharding.
+
+Run: ``python -m mcmctoffitting_tpu.cli.csi_onebd -debug 1``
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-inputDataFilename", default=None, type=str)
+    p.add_argument("-debug", choices=[0, 1], default=0, type=int)
+    p.add_argument("-quitEarly", choices=[0, 1], default=0, type=int)
+    p.add_argument("-batch", choices=[0, 1], default=0, type=int)
+    p.add_argument("-nDrawsPerEval", default=200_000, type=int)
+    p.add_argument("-nBurninSteps", default=400, type=int)
+    p.add_argument("-nMainSteps", default=100, type=int)
+    p.add_argument("-outputPrefix", default="", type=str)
+    p.add_argument("-nWalkers", default=256, type=int)
+    p.add_argument("-qnd", action="store_true",
+                   help="quick and dirty: 60k draws")
+    p.add_argument("-quickish", action="store_true", help="100k draws")
+    p.add_argument("-hardcore", action="store_true",
+                   help="400 eD x 20 x binning")
+    p.add_argument("-shiftTOF", default=0, type=int,
+                   help="shift observed spectra by whole bins (systematic)")
+    p.add_argument("-seed", default=0, type=int)
+    p.add_argument("-mesh", default=0, type=int)
+    p.add_argument("-chunkWalkers", default=0, type=int)
+    p.add_argument("-segment", default=10, type=int)
+    return p
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from ..models import onebd
+    from ..parallel import make_mesh, make_sharded_logp_batch
+    from ..sampler import init_state, make_logp_batch, run_mcmc
+    from ..utils import chain_io, data_io
+
+    key = jax.random.PRNGKey(args.seed)
+    n_draws = args.nDrawsPerEval
+    if args.quickish:
+        n_draws = 100_000
+    if args.qnd:
+        n_draws = 60_000
+    if args.debug:
+        n_draws = 5000
+    n_walkers = 2 * 9 if args.debug else args.nWalkers
+    burnin_steps = 10 if args.debug else args.nBurninSteps
+    main_steps = 10 if args.debug else args.nMainSteps
+
+    spec = onebd.default_spec(n_samples=n_draws, hardcore=args.hardcore)
+    problem = onebd.OneBDProblem(spec, n_runs=3)
+
+    if args.inputDataFilename:
+        tof_data = data_io.read_multi_standoff_tof_data(
+            args.inputDataFilename, 3)
+        observed = []
+        for i, w in enumerate(problem.windows):
+            counts, _ = data_io.select_window(tof_data, i, w.lo, w.hi)
+            if args.shiftTOF:
+                counts = np.roll(counts, args.shiftTOF)
+            observed.append(counts)
+        observed = tuple(observed)
+    else:
+        truth = np.array([1300.0, 80.0, 0.6, 5e4, 5e4, 5e4,
+                          20.0, 20.0, 20.0])
+        observed = data_io.synthesize_observed(
+            jax.random.fold_in(key, 99), problem, truth)
+        print("using synthetic observed data at guess parameters")
+
+    if args.quitEarly:
+        print("quitEarly: setup complete")
+        return {"status": "quitEarly"}
+
+    logp = problem.make_log_prob_fn(observed)
+    devices = jax.devices()
+    if args.mesh:
+        devices = devices[: args.mesh]
+    chunk = args.chunkWalkers or None
+    if len(devices) > 1:
+        logp_batch = make_sharded_logp_batch(logp, make_mesh(devices),
+                                             chunk=chunk)
+        print(f"walker axis sharded over {len(devices)} devices")
+    else:
+        logp_batch = make_logp_batch(logp, chunk=chunk)
+
+    p0 = problem.initial_walkers_from_observed(
+        jax.random.fold_in(key, 1), n_walkers, observed)
+    state = init_state(jax.random.fold_in(key, 2), p0, logp_batch)
+
+    prefix = args.outputPrefix
+    t0 = time.time()
+    total_steps = 0
+    for phase, fname, n_steps in (
+            ("burn-in", "burninchain.dat", burnin_steps),
+            ("main", "mainchain.dat", main_steps)):
+        path = prefix + fname
+        open(path, "w").close()
+        done = 0
+        while done < n_steps:
+            seg = min(args.segment, n_steps - done)
+            chain = run_mcmc(state, seg, logp_batch)
+            state = chain.state
+            chain_io.append_chain_text(path, np.asarray(chain.positions),
+                                       np.asarray(chain.log_probs))
+            done += seg
+            total_steps += seg
+            rate = total_steps * n_walkers / (time.time() - t0)
+            print(f"{phase}: step {done}/{n_steps} "
+                  f"({rate:.1f} walker-steps/s)", flush=True)
+        chain_io.save_checkpoint(
+            prefix + f"{phase.replace('-', '')}.ckpt.npz", state)
+
+    main_chain, _, n_params, _, _ = chain_io.read_chain_text(
+        prefix + "mainchain.dat")
+    flat = main_chain.reshape(-1, n_params)
+    q = np.percentile(flat, [16, 50, 84], axis=0)
+    names = (["eLoss", "scale", "s"] + [f"N{i+1}" for i in range(3)]
+             + [f"BG{i+1}" for i in range(3)])
+    print("MCMC result (median +sigma -sigma):")
+    result = {}
+    for d, name in enumerate(names):
+        med, lo, hi = q[1, d], q[1, d] - q[0, d], q[2, d] - q[1, d]
+        print(f"  {name} = {med:.4g} +{hi:.3g} -{lo:.3g}")
+        result[name] = [float(med), float(hi), float(lo)]
+
+    elapsed = time.time() - t0
+    rate = total_steps * n_walkers / elapsed
+    print(json.dumps({"walker_steps_per_sec": rate, "elapsed_s": elapsed}))
+
+    if not args.batch:
+        try:
+            from ..utils.plotting import trace_plot
+            trace_plot(main_chain, names, prefix + "runSampleChainsOut.png")
+        except Exception as e:
+            print(f"plotting skipped: {e}")
+    return {"quantiles": result, "walker_steps_per_sec": rate}
+
+
+if __name__ == "__main__":
+    main()

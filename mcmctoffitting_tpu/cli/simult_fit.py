@@ -1,0 +1,153 @@
+"""CLI driver: simultaneous multi-standoff fit (flagship #1).
+
+TPU rebuild of ``python tests/simultFit.py`` (``tests/simultFit.py:42-63``
+argparse surface).  Differences by design:
+
+* ``-nThreads`` / ``-mpi`` are gone — walker parallelism is a sharded array
+  axis over all visible devices (``--mesh`` to cap); no process pools.
+* ``-datafile`` defaults to synthetic data generated at the reference's
+  guess parameters instead of a hard-coded private home path
+  (``tests/simultFit.py:47``); pass a real multistandoff TSV to fit data.
+* chains stream to ``burninchain.dat`` / ``mainchain.dat`` in the
+  emcee-compatible text format plus a ``.npz`` checkpoint for exact resume.
+
+Run: ``python -m mcmctoffitting_tpu.cli.simult_fit -nRuns 4 -debug 1``
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-nRuns", choices=[1, 2, 3, 4, 5], default=4, type=int)
+    p.add_argument("-debug", choices=[0, 1], default=0, type=int)
+    p.add_argument("-datafile", default=None, type=str,
+                   help="multistandoff TSV (default: synthesize)")
+    p.add_argument("-quitEarly", choices=[0, 1], default=0, type=int)
+    p.add_argument("-batch", choices=[0, 1], default=0, type=int,
+                   help="suppress plots")
+    p.add_argument("-nDrawsPerEval", default=200_000, type=int)
+    p.add_argument("-nBurninSteps", default=400, type=int)
+    p.add_argument("-nMainSteps", default=100, type=int)
+    p.add_argument("-nWalkers", default=256, type=int)
+    p.add_argument("-outputPrefix", default="", type=str)
+    p.add_argument("-seed", default=0, type=int)
+    p.add_argument("-mesh", default=0, type=int,
+                   help="max devices for walker sharding (0 = all)")
+    p.add_argument("-chunkWalkers", default=0, type=int,
+                   help="eval walkers in chunks of this size (memory cap)")
+    p.add_argument("-segment", default=10, type=int,
+                   help="steps per device->host chain flush")
+    return p
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import simult
+    from ..parallel import make_mesh, make_sharded_logp_batch
+    from ..sampler import init_state, make_logp_batch, run_mcmc
+    from ..utils import chain_io, data_io
+
+    key = jax.random.PRNGKey(args.seed)
+    n_walkers = 2 * 9 if args.debug else args.nWalkers
+    burnin_steps = 10 if args.debug else args.nBurninSteps
+    main_steps = 10 if args.debug else args.nMainSteps
+    n_draws = 5000 if args.debug else args.nDrawsPerEval
+
+    spec = simult.default_spec(n_samples=n_draws)
+    problem = simult.SimultFitProblem(spec, n_runs=args.nRuns)
+
+    if args.datafile:
+        tof_data = data_io.read_multi_standoff_tof_data(args.datafile,
+                                                        args.nRuns)
+        observed = tuple(
+            data_io.select_window(tof_data, i, w.lo, w.hi)[0]
+            for i, w in enumerate(problem.windows))
+    else:
+        truth = np.concatenate([simult.GUESS_SHARED,
+                                np.full(args.nRuns, 5.0e4)])
+        observed = data_io.synthesize_observed(
+            jax.random.fold_in(key, 99), problem, truth)
+        print("using synthetic observed data at guess parameters")
+
+    if args.quitEarly:
+        print("quitEarly: setup complete")
+        return {"status": "quitEarly"}
+
+    logp = problem.make_log_prob_fn(observed)
+    devices = jax.devices()
+    if args.mesh:
+        devices = devices[: args.mesh]
+    chunk = args.chunkWalkers or None
+    if len(devices) > 1:
+        mesh = make_mesh(devices)
+        logp_batch = make_sharded_logp_batch(logp, mesh, chunk=chunk)
+        print(f"walker axis sharded over {len(devices)} devices")
+    else:
+        logp_batch = make_logp_batch(logp, chunk=chunk)
+
+    p0 = problem.initial_walkers_from_observed(
+        jax.random.fold_in(key, 1), n_walkers, observed)
+    state = init_state(jax.random.fold_in(key, 2), p0, logp_batch)
+
+    prefix = args.outputPrefix
+    burnin_path = prefix + "burninchain.dat"
+    main_path = prefix + "mainchain.dat"
+    t0 = time.time()
+    total_steps = 0
+
+    for phase, path, n_steps in (("burn-in", burnin_path, burnin_steps),
+                                 ("main", main_path, main_steps)):
+        open(path, "w").close()
+        done = 0
+        while done < n_steps:
+            seg = min(args.segment, n_steps - done)
+            chain = run_mcmc(state, seg, logp_batch)
+            state = chain.state
+            chain_io.append_chain_text(path, np.asarray(chain.positions),
+                                       np.asarray(chain.log_probs))
+            done += seg
+            total_steps += seg
+            rate = total_steps * n_walkers / (time.time() - t0)
+            print(f"{phase}: step {done}/{n_steps} "
+                  f"({rate:.1f} walker-steps/s)", flush=True)
+        chain_io.save_checkpoint(prefix + f"{phase.replace('-', '')}.ckpt.npz",
+                                 state)
+    # report quantiles over the main chain
+    main_chain, _, n_params, _, _ = chain_io.read_chain_text(main_path)
+    flat = main_chain.reshape(-1, n_params)
+    q = np.percentile(flat, [16, 50, 84], axis=0)
+    names = ["beamE", "eLoss", "scale", "s"] + [
+        f"N{i + 1}" for i in range(args.nRuns)]
+    print("MCMC result (median +sigma -sigma):")
+    result = {}
+    for d, name in enumerate(names):
+        med, lo, hi = q[1, d], q[1, d] - q[0, d], q[2, d] - q[1, d]
+        print(f"  {name} = {med:.4g} +{hi:.3g} -{lo:.3g}")
+        result[name] = [float(med), float(hi), float(lo)]
+
+    elapsed = time.time() - t0
+    rate = total_steps * n_walkers / elapsed
+    print(json.dumps({"walker_steps_per_sec": rate, "elapsed_s": elapsed}))
+
+    if not args.batch:
+        try:
+            from ..utils.plotting import trace_plot
+            trace_plot(main_chain, names,
+                       prefix + "runSampleChainsOut.png")
+        except Exception as e:  # matplotlib optional
+            print(f"plotting skipped: {e}")
+    return {"quantiles": result, "walker_steps_per_sec": rate}
+
+
+if __name__ == "__main__":
+    main()

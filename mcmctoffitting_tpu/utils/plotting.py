@@ -1,0 +1,158 @@
+"""Diagnostic plotting: chain traces, lnprob scatters, corner plots.
+
+Rebuilds the reference's visualization layer
+(``utilities/plotChains_oneBD.py:101-203``, ``tests/plotChainFromFile.py:
+88-148``, corner plots ``utilities/ppcTools.py:425-436``) on bare
+matplotlib.  The ``corner`` package is not a dependency: :func:`corner_plot`
+implements the quantile-annotated corner grid directly.
+
+All functions accept (S, W, D) chains as produced by the native sampler or
+read back via ``chain_io.read_chain_text``, and are import-guarded so the
+core library never requires matplotlib.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def trace_plot(chain, param_names: Optional[Sequence[str]] = None,
+               filename: Optional[str] = None, *, alpha: float = 0.2,
+               max_params: int = 12):
+    """Per-parameter walker trace plot (burn-in diagnostics;
+    ``tests/simultFit.py:746-763``)."""
+    plt = _plt()
+    chain = np.asarray(chain)  # (S, W, D)
+    n_params = min(chain.shape[-1], max_params)
+    fig, axes = plt.subplots(n_params, 1, figsize=(8, 2.2 * n_params),
+                             sharex=True, squeeze=False)
+    for d in range(n_params):
+        ax = axes[d, 0]
+        ax.plot(chain[:, :, d], "-", color="k", alpha=alpha, lw=0.5)
+        ax.set_ylabel(param_names[d] if param_names else f"$\\theta_{{{d}}}$")
+    axes[-1, 0].set_xlabel("Step")
+    fig.tight_layout()
+    if filename:
+        fig.savefig(filename, dpi=200)
+        plt.close(fig)
+    return fig
+
+
+def lnprob_scatter(chain, log_probs, param_index: int = 0,
+                   param_name: Optional[str] = None,
+                   filename: Optional[str] = None):
+    """ln-prob vs parameter scatter (``utilities/plotChains_oneBD.py:194-199``)."""
+    plt = _plt()
+    chain = np.asarray(chain)
+    lp = np.asarray(log_probs)
+    fig, ax = plt.subplots(figsize=(7, 5))
+    ax.scatter(chain[:, :, param_index].ravel(), lp.ravel(), s=2, alpha=0.2,
+               color="k")
+    ax.set_xlabel(param_name or f"$\\theta_{{{param_index}}}$")
+    ax.set_ylabel("ln prob")
+    fig.tight_layout()
+    if filename:
+        fig.savefig(filename, dpi=200)
+        plt.close(fig)
+    return fig
+
+
+def param_hist(chain, param_index: int = 0, bins: int = 50,
+               filename: Optional[str] = None):
+    """Marginal histogram of one parameter (``tests/plotChainFromFile.py``)."""
+    plt = _plt()
+    vals = np.asarray(chain)[:, :, param_index].ravel()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.hist(vals, bins=bins, color="0.3")
+    ax.set_xlabel(f"$\\theta_{{{param_index}}}$")
+    fig.tight_layout()
+    if filename:
+        fig.savefig(filename, dpi=200)
+        plt.close(fig)
+    return fig
+
+
+def corner_plot(samples, labels: Optional[Sequence[str]] = None,
+                quantiles: Sequence[float] = (0.16, 0.5, 0.84),
+                truths: Optional[Sequence[float]] = None,
+                bins: int = 40, filename: Optional[str] = None):
+    """Corner (pairwise marginal) plot with quantile titles.
+
+    Native replacement for ``corner.corner(...)`` as used in
+    ``utilities/ppcTools.py:425-436`` (flattened chain tail, 16/50/84%
+    quantile titles).
+    """
+    plt = _plt()
+    x = np.asarray(samples)
+    if x.ndim == 3:
+        x = x.reshape(-1, x.shape[-1])
+    d = x.shape[1]
+    fig, axes = plt.subplots(d, d, figsize=(2.2 * d, 2.2 * d))
+    if d == 1:
+        axes = np.array([[axes]])
+    for i in range(d):
+        for j in range(d):
+            ax = axes[i, j]
+            if j > i:
+                ax.set_visible(False)
+                continue
+            if i == j:
+                ax.hist(x[:, i], bins=bins, color="0.3",
+                        histtype="stepfilled")
+                q = np.quantile(x[:, i], quantiles)
+                for qv in q:
+                    ax.axvline(qv, color="k", ls="--", lw=0.8)
+                med, lo, hi = q[1], q[1] - q[0], q[2] - q[1]
+                name = labels[i] if labels else f"$\\theta_{{{i}}}$"
+                ax.set_title(f"{name} = {med:.3g}$^{{+{hi:.2g}}}"
+                             f"_{{-{lo:.2g}}}$", fontsize=9)
+                if truths is not None:
+                    ax.axvline(truths[i], color="tab:blue", lw=1.2)
+            else:
+                ax.hist2d(x[:, j], x[:, i], bins=bins, cmap="Greys")
+                if truths is not None:
+                    ax.axvline(truths[j], color="tab:blue", lw=1.0)
+                    ax.axhline(truths[i], color="tab:blue", lw=1.0)
+            if i < d - 1:
+                ax.set_xticklabels([])
+            if j > 0:
+                ax.set_yticklabels([])
+            if i == d - 1 and labels:
+                ax.set_xlabel(labels[j])
+            if j == 0 and i > 0 and labels:
+                ax.set_ylabel(labels[i])
+    fig.tight_layout()
+    if filename:
+        fig.savefig(filename, dpi=200)
+        plt.close(fig)
+    return fig
+
+
+def ppc_band_plot(observed, bands, bin_edges=None,
+                  filename: Optional[str] = None):
+    """Observed counts vs 16/50/84% PPC bands (``tests/testPPC.py:110-139``)."""
+    plt = _plt()
+    obs = np.asarray(observed)
+    bands = np.asarray(bands)  # (3, n_bins)
+    xs = np.arange(len(obs)) if bin_edges is None else np.asarray(bin_edges)
+    fig, ax = plt.subplots(figsize=(7, 5))
+    ax.fill_between(xs, bands[0], bands[2], color="tab:orange", alpha=0.4,
+                    label="68% PPC band")
+    ax.plot(xs, bands[1], color="tab:red", lw=1.0, label="PPC median")
+    ax.step(xs, obs, where="mid", color="k", lw=1.0, label="observed")
+    ax.set_xlabel("TOF bin")
+    ax.set_ylabel("Counts")
+    ax.legend()
+    fig.tight_layout()
+    if filename:
+        fig.savefig(filename, dpi=200)
+        plt.close(fig)
+    return fig

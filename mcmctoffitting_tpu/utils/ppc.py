@@ -1,0 +1,166 @@
+"""Posterior-predictive checks, spectrum extraction, and MCNP SDEF export.
+
+TPU-native rebuild of ``utilities/ppcTools.py`` / ``ppcTools_oneBD.py``:
+instead of looping posterior draws through a Python generateModelData
+(``utilities/ppcTools.py:283-330``), draws are stacked and the forward model
+is evaluated per draw under jit (vmap is avoided on purpose: each PPC draw
+is already a large batched program; scanning keeps peak memory flat).
+
+Provides:
+* :class:`PPCSampler` — posterior draws -> model spectra + neutron/deuteron
+  spectra (reference ``generatePPC``), with the oneBD ``lnprobcut`` filter
+  (``utilities/ppcTools_oneBD.py:279-289``).
+* :func:`percentile_bands` — 16/50/84% credible bands
+  (``tests/testPPC.py:110-139``).
+* :func:`sample_initial_energy_dist` — beam-energy posterior samples
+  (``utilities/ppcTools.py:334-354``).
+* :func:`make_sdef_sia_cumulative` — MCNP 'si a'/'sp' source card strings
+  (``utilities/ppcTools.py:397-422``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pdfs import lognorm_rvs
+
+
+@dataclasses.dataclass
+class PPCResult:
+    """Stacked PPC draws."""
+
+    tof_spectra: list          # per run: (n_draws, n_bins)
+    neutron_spectra: np.ndarray  # (n_draws, x_bins, eD_bins) weight grids
+    thetas: np.ndarray         # (n_draws, D) parameter draws used
+
+
+class PPCSampler:
+    """Sample the posterior chain and push draws through the forward model.
+
+    ``problem``: a SimultFitProblem / OneBDProblem (anything exposing
+    run_spectrum + windows + spec).
+    ``chain``: (S, W, D) array; ``log_probs``: (S, W) (for lnprob_cut).
+    """
+
+    def __init__(self, problem, chain, log_probs=None, *,
+                 n_steps_to_include: int = 50):
+        self.problem = problem
+        self.chain = np.asarray(chain)
+        self.log_probs = None if log_probs is None else np.asarray(log_probs)
+        tail = self.chain[-n_steps_to_include:]
+        self.flat = tail.reshape(-1, tail.shape[-1])
+        if self.log_probs is not None:
+            self.flat_lp = self.log_probs[-n_steps_to_include:].reshape(-1)
+        else:
+            self.flat_lp = None
+
+    def draw_thetas(self, key, n_draws: int,
+                    lnprob_cut: Optional[float] = None) -> np.ndarray:
+        """Random posterior draws from the chain tail (with replacement,
+        like ``np.random.randint`` in ``utilities/ppcTools.py:295``);
+        optional lnprob floor (``utilities/ppcTools_oneBD.py:279-289``)."""
+        flat = self.flat
+        if lnprob_cut is not None and self.flat_lp is not None:
+            mask = self.flat_lp > lnprob_cut
+            if mask.sum() == 0:
+                raise ValueError("lnprob_cut removed every sample")
+            flat = flat[mask]
+        idx = np.asarray(jax.random.randint(key, (n_draws,), 0, len(flat)))
+        return flat[idx]
+
+    def generate(self, key, n_draws: int = 500,
+                 lnprob_cut: Optional[float] = None) -> PPCResult:
+        """The reference ``generatePPC``: per draw, per run, generate a
+        model spectrum (+ the neutron-yield weight grid)."""
+        thetas = self.draw_thetas(jax.random.fold_in(key, 0), n_draws,
+                                  lnprob_cut)
+        per_run: list = [[] for _ in self.problem.windows]
+        grids = []
+
+        jitted = jax.jit(
+            lambda k, th, run: self.problem.run_spectrum(
+                k, th, run, get_pdf=True),
+            static_argnums=2)
+
+        for d, theta in enumerate(jnp.asarray(thetas, dtype=jnp.float32)):
+            k_d = jax.random.fold_in(key, 1 + d)
+            for run in range(len(self.problem.windows)):
+                spec = jitted(jax.random.fold_in(k_d, run), theta, run)
+                per_run[run].append(np.asarray(spec))
+            grids.append(self._weight_grid(k_d, theta))
+        return PPCResult([np.stack(s) for s in per_run], np.stack(grids),
+                         thetas)
+
+    def _weight_grid(self, key, theta):
+        """Neutron-yield (x, eD) grid for one draw (the eN/eD spectra the
+        reference accumulates alongside, ``utilities/ppcTools.py:164-187``)."""
+        from ..models.forward import energy_weight_grid
+        from ..ops.pdfs import beam_energy_rvs
+        spec = self.problem.spec
+        p4 = self._shared4(theta)
+        ez = beam_energy_rvs(key, spec.n_samples, p4[0], p4[1], p4[2], p4[3],
+                             spec.n_redraw_rounds)
+        grid, _ = jax.jit(lambda e: energy_weight_grid(spec, e))(ez)
+        return np.asarray(grid)
+
+    def _shared4(self, theta):
+        """(beamE, eLoss, scale, s) from a theta of either flagship model."""
+        theta = np.asarray(theta)
+        if hasattr(self.problem, "n_dim") and theta.shape[-1] == \
+                getattr(self.problem, "n_dim", None) and \
+                self.problem.__class__.__name__ == "OneBDProblem":
+            from ..constants import onebd_consts
+            return np.array([onebd_consts.beam_reference_energy,
+                             theta[0], theta[1], theta[2]])
+        return theta[:4]
+
+
+def percentile_bands(stacked: np.ndarray,
+                     q: Sequence[float] = (16, 50, 84)) -> np.ndarray:
+    """(n_draws, n_bins) -> (len(q), n_bins) credible bands
+    (``tests/testPPC.py:47-54``)."""
+    return np.percentile(np.asarray(stacked), list(q), axis=0)
+
+
+def sample_initial_energy_dist(key, sampler: PPCSampler, *,
+                               n_samples: int = 100,
+                               n_draws_per: int = 10_000,
+                               normed: bool = False) -> np.ndarray:
+    """Posterior samples of the initial deuteron-energy distribution
+    (``utilities/ppcTools.py:334-354``).  Returns (n_samples, eD_bins)."""
+    spec = sampler.problem.spec
+    eb = spec.ed_binning
+    thetas = sampler.draw_thetas(jax.random.fold_in(key, 0), n_samples)
+    out = np.zeros((n_samples, eb.n))
+    for i, theta in enumerate(thetas):
+        p4 = sampler._shared4(theta)
+        k = jax.random.fold_in(key, 1 + i)
+        e = p4[0] - lognorm_rvs(k, p4[3], p4[1], p4[2], (n_draws_per,))
+        hist, _ = np.histogram(np.asarray(e), eb.n, (eb.lo, eb.hi),
+                               density=normed)
+        out[i] = hist * (eb.width if normed else 1.0)
+    return out
+
+
+def make_sdef_sia_cumulative(en_centers_keV: np.ndarray,
+                             neutron_spectrum: np.ndarray,
+                             dist_number: int = 100) -> dict:
+    """MCNP SDEF 'si a' / 'sp' card strings, energies in MeV
+    (``utilities/ppcTools.py:397-422``)."""
+    si = [f"si{dist_number} a"]
+    sp = [f"sp{dist_number}"]
+    for en, counts in zip(np.asarray(en_centers_keV),
+                          np.asarray(neutron_spectrum)):
+        si.append(" {:.3f}".format(en / 1000.0))
+        sp.append(" {:.0f}".format(counts))
+    return {"si": "".join(si), "sp": "".join(sp)}
+
+
+def collapse_neutron_spectrum(grids: np.ndarray) -> np.ndarray:
+    """Sum PPC weight grids over draws and cell length -> eD/eN spectrum
+    (``utilities/ppcTools.py:405-411``)."""
+    return np.asarray(grids).sum(axis=(0, 1))

@@ -6,7 +6,9 @@ before anything imports jax.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the ambient environment sets JAX_PLATFORMS=axon (a remote TPU
+# tunnel with remote compilation) which makes unit tests slow and flaky
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,3 +17,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)  # match TPU f32 defaults in tests
+
+# this host's XLA compiles have large wall-clock overheads; persist compiled
+# executables across pytest processes so reruns only pay for new shapes
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -1,0 +1,62 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh (SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcmctoffitting_tpu.parallel import (make_mesh, make_sharded_logp_batch,
+                                         replicate)
+from mcmctoffitting_tpu.sampler import init_state, make_logp_batch, run_mcmc
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    return make_mesh(jax.devices()[:8])
+
+
+def gaussian_logp(theta, key):
+    del key
+    return -0.5 * jnp.sum(theta ** 2)
+
+
+def test_sharded_logp_matches_local(mesh):
+    logp_sharded = make_sharded_logp_batch(gaussian_logp, mesh)
+    logp_local = make_logp_batch(gaussian_logp)
+    thetas = jax.random.normal(jax.random.PRNGKey(0), (32, 4))
+    keys = jax.random.split(jax.random.PRNGKey(1), 32)
+    np.testing.assert_allclose(np.asarray(logp_sharded(thetas, keys)),
+                               np.asarray(logp_local(thetas, keys)),
+                               rtol=1e-6)
+
+
+def test_sharded_sampler_matches_unsharded_statistics(mesh):
+    """Same seed: sharded and local runs must produce identical chains
+    (the move logic is replicated; only lnprob eval is sharded)."""
+    p0 = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (32, 3))
+    logp_local = make_logp_batch(gaussian_logp)
+    logp_sharded = make_sharded_logp_batch(gaussian_logp, mesh)
+
+    s_local = init_state(jax.random.PRNGKey(3), p0, logp_local)
+    s_shard = init_state(jax.random.PRNGKey(3), replicate(p0, mesh)
+                         if False else p0, logp_sharded)
+    c_local = run_mcmc(s_local, 30, logp_local)
+    c_shard = run_mcmc(s_shard, 30, logp_sharded)
+    np.testing.assert_allclose(np.asarray(c_local.positions),
+                               np.asarray(c_shard.positions), atol=1e-5)
+
+
+def test_indivisible_walker_count_raises(mesh):
+    logp_sharded = make_sharded_logp_batch(gaussian_logp, mesh)
+    thetas = jax.random.normal(jax.random.PRNGKey(0), (30, 4))  # 30 % 8 != 0
+    keys = jax.random.split(jax.random.PRNGKey(1), 30)
+    with pytest.raises(ValueError, match="not divisible"):
+        logp_sharded(thetas, keys)
+
+
+def test_graft_dryrun_multichip():
+    """The driver's multi-chip validation path end-to-end."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+    dryrun_multichip(8)
