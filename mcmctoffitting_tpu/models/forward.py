@@ -38,7 +38,7 @@ from ..config import Binning, cell_attenuation_coeffs
 from ..constants import CellGeometry, TofWindow, masses
 from ..ops.histogram import histogram_density, weighted_histogram
 from ..ops.interp import CubicSpline1D
-from ..ops.kinematics import dd_neutron_energy, tof
+from ..ops.kinematics import dd_neutron_energy_np, tof
 from ..ops.pdfs import beam_energy_rvs
 from ..ops.stopping import BetheStopping, StoppingTable, rk4_transport
 from ..ops.timing import (ExGaussianTiming, GaussianTiming,
@@ -86,7 +86,7 @@ class ForwardSpec:
         return self.ed_binning.centers
 
     def en_centers(self) -> np.ndarray:
-        return np.asarray(dd_neutron_energy(self.ed_binning.centers))
+        return dd_neutron_energy_np(self.ed_binning.centers)
 
 
 def _transport_all(spec: ForwardSpec, e_zeros):

@@ -44,3 +44,16 @@ def tof(mass, energy, distance):
 def velocity_from_energy(mass, energy):
     """Non-relativistic speed in cm/ns for mass keV/c^2, energy keV."""
     return physics.speed_of_light * jnp.sqrt(2.0 * jnp.asarray(energy) / mass)
+
+
+def dd_neutron_energy_np(deuteron_energy, lab_angle_deg=0.0):
+    """Host-side f64 numpy twin of :func:`dd_neutron_energy` for trace-time
+    constants (e.g. bin-center tables baked into jitted programs)."""
+    import numpy as np
+    e_d = np.asarray(deuteron_energy, dtype=np.float64)
+    theta = lab_angle_deg * np.pi / 180.0
+    r = (np.sqrt(masses.deuteron * masses.neutron * e_d)
+         / (masses.neutron + masses.he3) * np.cos(theta))
+    s = ((e_d * (masses.he3 - masses.deuteron) + q_values.ddn * masses.he3)
+         / (masses.neutron + masses.he3))
+    return (r + np.sqrt(r * r + s)) ** 2

@@ -16,6 +16,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# pytest autoloads a plugin that imports jax BEFORE this conftest, so the
+# env var above can be too late; override the already-read config directly
+# (backends are initialized lazily, so this still takes effect here)
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_enable_x64", False)  # match TPU f32 defaults in tests
 
 # this host's XLA compiles have large wall-clock overheads; persist compiled
