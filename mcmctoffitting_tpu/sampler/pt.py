@@ -1,0 +1,194 @@
+"""Parallel-tempering ensemble sampler (replica exchange).
+
+Replaces ``emcee.PTSampler`` as used by the reference's analytic-vs-numeric
+study (20 temperatures x 100 walkers, ``tests/shiftingGaussian_brute.py:
+349-360``).  TPU-native design: the temperature ladder is just one more
+vmapped array axis on top of the walker axis — per-temperature stretch
+moves run as a (T, W)-batched computation, and the replica-exchange phase
+is a tiny elementwise shuffle between adjacent temperature slices.
+
+Tempered posterior at inverse temperature beta: logprior + beta * loglike.
+Swap acceptance between adjacent rungs (i cold, j=i+1 hot), with walkers of
+the hotter rung randomly permuted:  ln U < (beta_i - beta_j) *
+(loglike_j - loglike_i)  — standard replica exchange, matching PTSampler.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def default_beta_ladder(n_temps: int, t_max: float | None = None) -> np.ndarray:
+    """Geometric inverse-temperature ladder, beta_0 = 1 (cold chain).
+
+    Default spacing 1/sqrt(2) per rung like emcee 2's PTSampler default;
+    with ``t_max`` given, spaces geometrically down to 1/t_max.
+    """
+    if t_max is None:
+        ratio = 2.0 ** 0.5
+        return (1.0 / ratio) ** np.arange(n_temps)
+    return np.geomspace(1.0, 1.0 / t_max, n_temps)
+
+
+class PTState(NamedTuple):
+    positions: jax.Array   # (T, W, D)
+    log_like: jax.Array    # (T, W)
+    log_prior: jax.Array   # (T, W)
+    key: jax.Array
+    step: jax.Array
+
+
+@dataclasses.dataclass
+class PTChain:
+    positions: jax.Array       # (S, T, W, D)
+    log_like: jax.Array        # (S, T, W)
+    log_prior: jax.Array       # (S, T, W)
+    n_accepted: jax.Array      # (T, W)
+    n_swaps_accepted: jax.Array  # (T-1,)
+    state: PTState
+
+    @property
+    def acceptance_fraction(self):
+        return self.n_accepted / self.positions.shape[0]
+
+    @property
+    def cold_chain(self):
+        """(S, W, D) samples of the beta=1 target posterior."""
+        return self.positions[:, 0]
+
+
+def _make_batched(fn: Callable, stochastic: bool) -> Callable:
+    if stochastic:
+        per = fn
+    else:
+        def per(theta, key):
+            del key
+            return fn(theta)
+    return jax.vmap(jax.vmap(per))  # over (T, W)
+
+
+def init_pt_state(key, p0, loglike_batch, logprior_batch) -> PTState:
+    """p0: (T, W, D)."""
+    p0 = jnp.asarray(p0, dtype=jnp.float32)
+    t, w, _ = p0.shape
+    key, k0 = jax.random.split(key)
+    keys = jax.random.split(k0, t * w).reshape(t, w, -1)
+    ll = loglike_batch(p0, keys)
+    lp = logprior_batch(p0, keys)
+    return PTState(p0, ll, lp, key, jnp.asarray(0, jnp.int32))
+
+
+def _tempered_half_update(pos, ll, lp, betas, parity, step_key,
+                          loglike_batch, logprior_batch, a, n_dim):
+    """Red-black stretch half-update batched over (T, walkers/2)."""
+    n_temps, n_walkers, _ = pos.shape
+    n_half = n_walkers // 2
+    active = pos[:, parity::2]
+    passive = pos[:, 1 - parity::2]
+    ll_a = ll[:, parity::2]
+    lp_a = lp[:, parity::2]
+
+    kz, kj, ku, ke = jax.random.split(step_key, 4)
+    u = jax.random.uniform(kz, (n_temps, n_half))
+    z = ((a - 1.0) * u + 1.0) ** 2 / a
+    j = jax.random.randint(kj, (n_temps, n_half), 0, n_half)
+    partners = jnp.take_along_axis(passive, j[:, :, None], axis=1)
+    prop = partners + z[..., None] * (active - partners)
+
+    eval_keys = jax.random.split(ke, n_temps * n_half).reshape(
+        n_temps, n_half, -1)
+    ll_new = loglike_batch(prop, eval_keys)
+    lp_new = logprior_batch(prop, eval_keys)
+
+    logpost_new = lp_new + betas[:, None] * ll_new
+    logpost_old = lp_a + betas[:, None] * ll_a
+    log_ratio = (n_dim - 1.0) * jnp.log(z) + logpost_new - logpost_old
+    accept = jnp.log(jax.random.uniform(ku, (n_temps, n_half))) < log_ratio
+
+    pos = pos.at[:, parity::2].set(
+        jnp.where(accept[..., None], prop, active))
+    ll = ll.at[:, parity::2].set(jnp.where(accept, ll_new, ll_a))
+    lp = lp.at[:, parity::2].set(jnp.where(accept, lp_new, lp_a))
+    return pos, ll, lp, accept
+
+
+def _replica_exchange(pos, ll, lp, betas, key):
+    """One sweep of adjacent-rung swaps, coldest pair last."""
+    n_temps, n_walkers, _ = pos.shape
+    swap_counts = jnp.zeros(n_temps - 1, jnp.int32)
+
+    for i in range(n_temps - 2, -1, -1):
+        k_perm, k_acc, key = jax.random.split(jax.random.fold_in(key, i), 3)
+        perm = jax.random.permutation(k_perm, n_walkers)
+        ll_hot = ll[i + 1][perm]
+        log_ratio = (betas[i] - betas[i + 1]) * (ll_hot - ll[i])
+        accept = jnp.log(jax.random.uniform(k_acc, (n_walkers,))) < log_ratio
+
+        pos_hot = pos[i + 1][perm]
+        lp_hot = lp[i + 1][perm]
+        new_cold_pos = jnp.where(accept[:, None], pos_hot, pos[i])
+        new_cold_ll = jnp.where(accept, ll_hot, ll[i])
+        new_cold_lp = jnp.where(accept, lp_hot, lp[i])
+        # hot rung receives the displaced cold walkers at permuted slots
+        hot_pos = pos[i + 1].at[perm].set(
+            jnp.where(accept[:, None], pos[i], pos_hot))
+        hot_ll = ll[i + 1].at[perm].set(jnp.where(accept, ll[i], ll_hot))
+        hot_lp = lp[i + 1].at[perm].set(jnp.where(accept, lp[i], lp_hot))
+
+        pos = pos.at[i].set(new_cold_pos).at[i + 1].set(hot_pos)
+        ll = ll.at[i].set(new_cold_ll).at[i + 1].set(hot_ll)
+        lp = lp.at[i].set(new_cold_lp).at[i + 1].set(hot_lp)
+        swap_counts = swap_counts.at[i].add(jnp.sum(accept.astype(jnp.int32)))
+    return pos, ll, lp, swap_counts
+
+
+def make_pt_step(loglike_batch, logprior_batch, betas, a: float = 2.0):
+    betas = jnp.asarray(betas, jnp.float32)
+
+    def step(state: PTState, _):
+        pos, ll, lp, key, step_idx = state
+        n_dim = pos.shape[-1]
+        key, k_e, k_o, k_s = jax.random.split(
+            jax.random.fold_in(key, step_idx), 4)
+        pos, ll, lp, acc_e = _tempered_half_update(
+            pos, ll, lp, betas, 0, k_e, loglike_batch, logprior_batch, a,
+            n_dim)
+        pos, ll, lp, acc_o = _tempered_half_update(
+            pos, ll, lp, betas, 1, k_o, loglike_batch, logprior_batch, a,
+            n_dim)
+        pos, ll, lp, swaps = _replica_exchange(pos, ll, lp, betas, k_s)
+        accepted = jnp.zeros(pos.shape[:2], jnp.int32)
+        accepted = accepted.at[:, 0::2].set(acc_e.astype(jnp.int32))
+        accepted = accepted.at[:, 1::2].set(acc_o.astype(jnp.int32))
+        new_state = PTState(pos, ll, lp, key, step_idx + 1)
+        return new_state, (pos, ll, lp, accepted, swaps)
+
+    return step
+
+
+def sample_pt(key, p0, n_steps: int, loglike_fn, logprior_fn, *,
+              betas=None, n_temps: Optional[int] = None, a: float = 2.0,
+              stochastic: bool = False, thin: int = 1) -> PTChain:
+    """PTSampler equivalent: p0 (T, W, D) or (W, D) with n_temps given."""
+    p0 = jnp.asarray(p0, dtype=jnp.float32)
+    if p0.ndim == 2:
+        if n_temps is None:
+            raise ValueError("give p0 as (T, W, D) or pass n_temps")
+        p0 = jnp.broadcast_to(p0, (n_temps,) + p0.shape)
+    if betas is None:
+        betas = default_beta_ladder(p0.shape[0])
+
+    loglike_batch = _make_batched(loglike_fn, stochastic)
+    logprior_batch = _make_batched(logprior_fn, stochastic)
+    state = init_pt_state(key, p0, loglike_batch, logprior_batch)
+    step = make_pt_step(loglike_batch, logprior_batch, betas, a)
+    final, (pos, ll, lp, acc, swaps) = jax.lax.scan(
+        step, state, None, length=n_steps)
+    if thin > 1:
+        pos, ll, lp = pos[::thin], ll[::thin], lp[::thin]
+    return PTChain(pos, ll, lp, jnp.sum(acc, axis=0),
+                   jnp.sum(swaps, axis=0), final)

