@@ -26,6 +26,6 @@ jax.config.update("jax_enable_x64", False)  # match TPU f32 defaults in tests
 # this host's XLA compiles have large wall-clock overheads; persist compiled
 # executables across pytest processes so reruns only pay for new shapes
 jax.config.update("jax_compilation_cache_dir",
-                  "/root/repo/.jax_cache")
+                  "/root/repo/.jax_cache_cpu")  # separate from the TPU cache
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
