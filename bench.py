@@ -25,8 +25,12 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 N_WALKERS = 256
 N_RUNS = 4
 N_DRAWS = 200_000
-N_STEPS_MEASURE = 3
+N_STEPS_MEASURE = 2
 WALKER_CHUNK = 32  # lnprob evals per vmap block (memory cap)
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
 
 
 def measure_tpu() -> float:
@@ -55,16 +59,22 @@ def measure_tpu() -> float:
     p0 = problem.initial_walkers_from_observed(
         jax.random.fold_in(key, 1), N_WALKERS, observed)
 
+    _log(f"bench: init {N_WALKERS} walkers x {N_RUNS} runs x {N_DRAWS} draws")
     state = init_state(jax.random.fold_in(key, 2), p0, logp_batch)
-    # warm-up: compile + one step
-    chain = run_mcmc(state, 1, logp_batch)
+    jax.block_until_ready(state.log_probs)
+    # warm-up with the SAME step count as the measurement so the scan
+    # program compiles once and is reused
+    _log("bench: warm-up segment (compiles the step program)")
+    chain = run_mcmc(state, N_STEPS_MEASURE, logp_batch)
     jax.block_until_ready(chain.positions)
     state = chain.state
 
+    _log("bench: measuring")
     t0 = time.perf_counter()
     chain = run_mcmc(state, N_STEPS_MEASURE, logp_batch)
     jax.block_until_ready(chain.positions)
     dt = time.perf_counter() - t0
+    _log(f"bench: {N_STEPS_MEASURE} steps in {dt:.2f}s")
     return N_STEPS_MEASURE * N_WALKERS / dt
 
 
@@ -84,7 +94,13 @@ def reference_baseline() -> float | None:
 
 
 def main() -> None:
-    value = measure_tpu()
+    try:
+        value = measure_tpu()
+    except Exception as e:  # transient TPU tunnel faults: one retry
+        _log(f"bench: first attempt failed ({type(e).__name__}: {e}); "
+             "retrying once")
+        time.sleep(10)
+        value = measure_tpu()
     baseline = reference_baseline()
     out = {
         "metric": "simultFit_walker_steps_per_sec",

