@@ -37,14 +37,13 @@ import numpy as np
 from ..config import Binning, cell_attenuation_coeffs
 from ..constants import CellGeometry, TofWindow, masses
 from ..ops.histogram import histogram_density, weighted_histogram
-from ..ops.interp import CubicSpline1D
 from ..ops.kinematics import dd_neutron_energy_np, tof
 from ..ops.pdfs import beam_energy_rvs
 from ..ops.stopping import BetheStopping, StoppingTable, rk4_transport
 from ..ops.timing import (ExGaussianTiming, GaussianTiming,
                           ZeroDegreeTimingSpread, apply_zero_degree_expo,
                           zero_degree_expo_kernel)
-from ..ops.xs import ddn_xs
+from ..ops.xs import ddn_xs_uniform
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,7 +58,7 @@ class ForwardSpec:
     ed_binning: Binning
     x_binning: Binning
     stopping: BetheStopping
-    xs: CubicSpline1D = ddn_xs
+    xs: object = ddn_xs_uniform  # CubicSpline1D or UniformCubicSpline1D
     # 'rk4' = batch RK4 transport (reference ODE path);
     # 'table' = StoppingTable lookup (reference betheApprox path)
     transport: str = "rk4"

@@ -121,3 +121,75 @@ class CubicSpline1D:
 def linear_interp(xq, xp, fp):
     """jnp.interp wrapper (uniform API with CubicSpline1D)."""
     return jnp.interp(jnp.asarray(xq), jnp.asarray(xp), jnp.asarray(fp))
+
+
+@dataclasses.dataclass(frozen=True)
+class UniformCubicSpline1D:
+    """Cubic spline re-parameterized onto a UNIFORM knot grid.
+
+    Piecewise-cubic functions are closed under re-segmentation: each uniform
+    cell stores the coefficients of the original spline segment containing
+    it, re-centered at the cell start.  Evaluation then needs NO
+    ``searchsorted`` — the segment index is pure arithmetic
+    (``floor((t - lo)/step)``), leaving one small-table gather + Horner.
+    On TPU this avoids the binary-search while-loop/gather chain entirely.
+    Values are exactly equal to the source spline (up to f64 re-centering
+    round-off).
+    """
+
+    lo: float
+    step: float
+    coeffs: np.ndarray       # (4, n_cells)
+    lo_clamp: float | None = None
+    hi_clamp: float | None = None
+
+    @classmethod
+    def from_spline(cls, spline: "CubicSpline1D", n_cells: int | None = None,
+                    step: float | None = None) -> "UniformCubicSpline1D":
+        """Re-segment.  Exactness requires that no uniform cell crosses a
+        source knot — pass a ``step`` that divides every knot spacing (e.g.
+        10 keV for the DDN table whose spacings are 10/50/100/500); with a
+        free ``n_cells`` the result is exact only away from knots."""
+        knots = spline.knots
+        lo, hi = float(knots[0]), float(knots[-1])
+        if step is not None:
+            n_cells = int(round((hi - lo) / step))
+            if abs(lo + n_cells * step - hi) > 1e-9 * (hi - lo):
+                raise ValueError("step must evenly divide the knot range")
+        else:
+            step = (hi - lo) / n_cells
+        starts = lo + step * np.arange(n_cells)
+        # guard against fp landing exactly on a knot from the left
+        starts = starts + 1e-9 * step
+        seg = np.clip(np.searchsorted(knots, starts, side="right") - 1,
+                      0, len(knots) - 2)
+        starts = lo + step * np.arange(n_cells)  # exact cell starts
+        d = starts - knots[seg]  # offset of cell start inside source segment
+        c3, c2, c1, c0 = (spline.coeffs[k][seg] for k in range(4))
+        # re-center: f(x0 + u) with x0 = cell start, u in [0, step)
+        n3 = c3
+        n2 = 3 * c3 * d + c2
+        n1 = 3 * c3 * d * d + 2 * c2 * d + c1
+        n0 = ((c3 * d + c2) * d + c1) * d + c0
+        return cls(lo, step, np.stack([n3, n2, n1, n0]),
+                   spline.lo_clamp, spline.hi_clamp)
+
+    def __call__(self, t):
+        t = jnp.asarray(t)
+        if self.lo_clamp is not None or self.hi_clamp is not None:
+            t = jnp.clip(t, self.lo_clamp, self.hi_clamp)
+        c = jnp.asarray(self.coeffs, dtype=t.dtype)
+        n_cells = self.coeffs.shape[1]
+        idx = jnp.clip(((t - self.lo) / self.step).astype(jnp.int32),
+                       0, n_cells - 1)
+        dt = t - (self.lo + self.step * idx.astype(t.dtype))
+        return ((c[0][idx] * dt + c[1][idx]) * dt + c[2][idx]) * dt + c[3][idx]
+
+    def __hash__(self):
+        return hash((self.lo, self.step, self.coeffs.tobytes(),
+                     self.lo_clamp, self.hi_clamp))
+
+    def __eq__(self, other):
+        return (isinstance(other, UniformCubicSpline1D)
+                and self.lo == other.lo and self.step == other.step
+                and np.array_equal(self.coeffs, other.coeffs))

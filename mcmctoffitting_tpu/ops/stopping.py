@@ -197,11 +197,14 @@ class StoppingTable:
         but batched over all samples in one shot.
         """
         e = jnp.asarray(e_zero)
-        grid = jnp.asarray(self.e0_grid, dtype=e.dtype)
         c = jnp.asarray(self.coeffs, dtype=e.dtype)  # (4, G-1, M)
-        idx = jnp.clip(jnp.searchsorted(grid, e, side="right") - 1,
-                       0, grid.shape[0] - 2)
-        dt = (e - grid[idx])[..., None]  # (N, 1)
+        # the E0 grid is uniform (np.arange) -> arithmetic segment index,
+        # no searchsorted (binary-search gathers are slow on TPU)
+        lo = float(self.e0_grid[0])
+        step = float(self.e0_grid[1] - self.e0_grid[0])
+        idx = jnp.clip(((e - lo) / step).astype(jnp.int32),
+                       0, self.e0_grid.shape[0] - 2)
+        dt = (e - (lo + step * idx.astype(e.dtype)))[..., None]  # (N, 1)
         c3, c2, c1, c0 = c[0][idx], c[1][idx], c[2][idx], c[3][idx]  # (N, M)
         return ((c3 * dt + c2) * dt + c1) * dt + c0
 

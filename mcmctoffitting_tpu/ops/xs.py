@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .interp import CubicSpline1D
+from .interp import CubicSpline1D, UniformCubicSpline1D
 
 # Energy grid in keV (reference ``utilities/utilities.py:338-346``):
 # 20..100 step 10, 150..1000 step 50, 1100..3000 step 100, 3500..10000 step 500.
@@ -43,5 +43,12 @@ def build_ddn_xs_spline() -> CubicSpline1D:
                                lo_clamp=20.0, hi_clamp=10000.0)
 
 
-# Module-level singleton: the table never changes, build once at import.
+# Module-level singletons: the table never changes, build once at import.
 ddn_xs = build_ddn_xs_spline()
+
+# Hot-path variant: identical curve re-segmented onto a uniform 10 keV grid
+# so the device lookup is pure arithmetic + one tiny gather (no searchsorted
+# binary search).  10 keV divides every knot spacing of the table
+# (10/50/100/500), so the resampling is EXACT; the coefficient table is
+# (4, 998) f32 = 16 KB and lives comfortably in VMEM.
+ddn_xs_uniform = UniformCubicSpline1D.from_spline(ddn_xs, step=10.0)

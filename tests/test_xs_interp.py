@@ -63,3 +63,16 @@ def test_spline_batched_coeffs():
 def test_spline_hashable_for_jit_static():
     s = CubicSpline1D.build(np.linspace(0, 1, 8), np.arange(8.0))
     assert isinstance(hash(s), int)
+
+
+def test_uniform_spline_equals_original():
+    """UniformCubicSpline1D with step dividing all knot spacings is EXACT
+    (no uniform cell crosses a source knot)."""
+    from mcmctoffitting_tpu.ops.xs import ddn_xs, ddn_xs_uniform
+    q = np.linspace(20.0, 10000.0, 40001)
+    a = np.asarray(ddn_xs(q.astype(np.float64)))
+    b = np.asarray(ddn_xs_uniform(q.astype(np.float64)))
+    np.testing.assert_allclose(b, a, rtol=5e-6, atol=1e-5)  # f32 round-off
+    # clamping preserved
+    np.testing.assert_allclose(float(ddn_xs_uniform(np.array(1.0))),
+                               float(ddn_xs(np.array(1.0))), rtol=1e-5)
