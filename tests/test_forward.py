@@ -172,3 +172,24 @@ def test_problem_log_prob_finite(problem_mod, theta):
     # out-of-prior theta -> -inf
     bad = theta.at[0].set(-1e9)
     assert float(prob.log_prob(bad, KEY, observed)) == -np.inf
+
+
+def test_fixed_param_problem_one_param():
+    """simultFit_oneParam equivalent: freeze all but beamE."""
+    from mcmctoffitting_tpu.models.fixed_params import FixedParamProblem
+    prob = simult.SimultFitProblem(SPEC_SIM, n_runs=2)
+    template = np.array([1878.4, 850.0, 170.0, 0.5, 5e4, 5e4])
+    fp = FixedParamProblem.freeze(prob, template, free_indices=[0])
+    assert fp.n_dim == 1
+    full = np.asarray(fp.expand(jnp.asarray([1900.0])))
+    np.testing.assert_allclose(full, [1900.0, 850.0, 170.0, 0.5, 5e4, 5e4],
+                               rtol=1e-5)
+    observed = tuple(
+        np.random.default_rng(3).poisson(200, w.n_bins).astype(np.float64)
+        for w in prob.windows)
+    logp = fp.make_log_prob_fn(observed)
+    lp = float(logp(jnp.asarray([1878.4]), KEY))
+    assert np.isfinite(lp)
+    # frozen out-of-range free param -> -inf via base prior
+    assert float(logp(jnp.asarray([-5.0]), KEY)) == -np.inf
+    np.testing.assert_allclose(fp.collapse(full), [1900.0])
