@@ -36,7 +36,8 @@ import numpy as np
 
 from ..config import Binning, cell_attenuation_coeffs
 from ..constants import CellGeometry, TofWindow, masses
-from ..ops.histogram import histogram_density, weighted_histogram
+from ..ops.histogram import (histogram_density, weighted_histogram,
+                             weighted_histogram_moments)
 from ..ops.kinematics import dd_neutron_energy_np, tof
 from ..ops.pdfs import beam_energy_rvs
 from ..ops.stopping import BetheStopping, StoppingTable, rk4_transport
@@ -80,6 +81,19 @@ class ForwardSpec:
     rint_draws: bool = True
     n_redraw_rounds: int = 8
     histogram_chunk: int = 16384
+    # cross-section weighting strategy:
+    #   'taylor' — gather-free Taylor-moment weighting (TPU fast path):
+    #     accumulate per-bin moment histograms (1, d, d^2, d^3) of the
+    #     within-bin offset d and contract with (sigma, sigma', sigma'',
+    #     sigma''') at the bin centers.  Exact for every bin whose interior
+    #     contains no spline knot (the cubic IS its own 3rd-order Taylor),
+    #     and accurate to O(knot jump in sigma''' * binwidth^3) otherwise —
+    #     orders of magnitude below the XS table's own 1% precision.
+    #     Rationale: per-sample spline evaluation needs a gather, and
+    #     gathers dominate everything else on TPU (measured 1.9-6.8 s vs
+    #     61 ms for the entire rest of the forward model).
+    #   'exact' — per-sample spline evaluation (reference-literal path).
+    xs_mode: str = "taylor"
 
     def ed_centers(self) -> np.ndarray:
         return self.ed_binning.centers
@@ -104,17 +118,38 @@ def energy_weight_grid(spec: ForwardSpec, e_zeros):
 
     Mirrors the per-x-bin weighted histograms of the reference
     (``tests/simultFit.py:256-265``, ``tests/csi_oneBD.py:452-465``) as one
-    batched one-hot matmul.
+    batched one-hot matmul.  Default path ('taylor') avoids per-sample
+    cross-section gathers entirely: accumulate within-bin offset moments
+    (1, d, d^2, d^3) and contract with the spline's value/derivatives at
+    the bin centers (see ForwardSpec.xs_mode).
     """
     e_at_x = _transport_all(spec, e_zeros)  # (M, N)
-    w = spec.xs(e_at_x)
+    eb = spec.ed_binning
+
+    if spec.xs_mode == "taylor" and hasattr(spec.xs, "eval_np"):
+        u = (e_at_x - eb.lo) / eb.width
+        delta = u - jnp.floor(u) - 0.5          # within-bin offset, [-.5,.5)
+        ones = jnp.ones_like(delta)
+        d2 = delta * delta
+        channels = jnp.stack([ones, delta, d2, d2 * delta], axis=-2)
+        moments = weighted_histogram_moments(
+            e_at_x, eb.lo, eb.hi, eb.n, channels,
+            chunk=spec.histogram_chunk)          # (M, 4, Be)
+        s0, s1, s2, s3 = spec.xs.eval_np(eb.centers, derivatives=True)
+        w = eb.width
+        taylor = np.stack([s0, s1 * w, 0.5 * s2 * w * w,
+                           (1.0 / 6.0) * s3 * w ** 3])  # (4, Be)
+        grid = jnp.sum(moments * jnp.asarray(taylor, dtype=moments.dtype),
+                       axis=-2)                  # (M, Be)
+    else:
+        w = spec.xs(e_at_x)
+        grid = weighted_histogram(e_at_x, eb.lo, eb.hi, eb.n, w,
+                                  chunk=spec.histogram_chunk)  # (M, Be)
+
     if spec.cell_attenuation:
         atten = jnp.asarray(cell_attenuation_coeffs(spec.x_binning.centers),
-                            dtype=w.dtype)
-        w = w * atten[:, None]
-    eb = spec.ed_binning
-    grid = weighted_histogram(e_at_x, eb.lo, eb.hi, eb.n, w,
-                              chunk=spec.histogram_chunk)  # (M, Be)
+                            dtype=grid.dtype)
+        grid = grid * atten[:, None]
     return grid, e_at_x
 
 

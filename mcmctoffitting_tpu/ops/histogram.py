@@ -94,6 +94,56 @@ def weighted_histogram(values, lo: float, hi: float, n_bins: int,
     return out
 
 
+def weighted_histogram_moments(values, lo: float, hi: float, n_bins: int,
+                               channels, *, chunk: int = 8192):
+    """Multi-channel weighted histogram: C weight channels in one MXU pass.
+
+    values: (..., N); channels: (..., C, N) -> (..., C, n_bins).
+    The one-hot block is built once per chunk and contracted against all C
+    channels in a single dot — the marginal cost of extra channels is tiny.
+    Used for the gather-free Taylor cross-section weighting
+    (``models/forward.py``): channels (1, delta, delta^2).
+    """
+    v = jnp.asarray(values)
+    ch = jnp.asarray(channels, dtype=jnp.float32)
+    idx, in_range = bin_index(v, lo, hi, n_bins)
+    ch = jnp.where(in_range[..., None, :], ch, 0.0)
+
+    n = v.shape[-1]
+    chunk = min(chunk, n)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    if pad:
+        idx = jnp.concatenate(
+            [idx, jnp.zeros(idx.shape[:-1] + (pad,), idx.dtype)], axis=-1)
+        ch = jnp.concatenate(
+            [ch, jnp.zeros(ch.shape[:-1] + (pad,), ch.dtype)], axis=-1)
+    idx_c = jnp.moveaxis(idx.reshape(idx.shape[:-1] + (n_chunks, chunk)),
+                         -2, 0)
+    # (..., C, K, chunk) -> (K, ..., C, chunk)
+    ch_c = jnp.moveaxis(ch.reshape(ch.shape[:-1] + (n_chunks, chunk)),
+                        -2, 0)
+
+    bins = jnp.arange(n_bins, dtype=jnp.int32)
+    batch_nd = idx_c.ndim - 2  # leading batch dims after K
+
+    def body(acc, inputs):
+        i_blk, c_blk = inputs  # (..., chunk), (..., C, chunk)
+        onehot = (i_blk[..., None] == bins).astype(c_blk.dtype)
+        # (..., C, chunk) x (..., chunk, B) -> (..., C, B)
+        contrib = jax.lax.dot_general(
+            c_blk, onehot,
+            dimension_numbers=(((c_blk.ndim - 1,), (onehot.ndim - 2,)),
+                               (tuple(range(batch_nd)),
+                                tuple(range(batch_nd)))),
+            preferred_element_type=jnp.float32)
+        return acc + contrib, None
+
+    acc0 = jnp.zeros(ch.shape[:-1] + (n_bins,), jnp.float32)
+    out, _ = jax.lax.scan(body, acc0, (idx_c, ch_c))
+    return out
+
+
 def histogram_density(hist, lo: float, hi: float):
     """Convert a count/weight histogram to np.histogram(density=True) form."""
     h = jnp.asarray(hist)

@@ -106,6 +106,32 @@ class CubicSpline1D:
         # Horner: ((c3*dt + c2)*dt + c1)*dt + c0
         return ((c[0][idx] * dt + c[1][idx]) * dt + c[2][idx]) * dt + c[3][idx]
 
+    def eval_np(self, t, *, derivatives: bool = False):
+        """Host-side f64 evaluation (optionally with 1st-3rd derivatives).
+
+        Used to bake per-bin-center (sigma, sigma', sigma'', sigma''')
+        constants into jitted programs for the gather-free Taylor-moment
+        cross-section weighting (models/forward.py).
+        """
+        t = np.asarray(t, dtype=np.float64)
+        tc = np.clip(t, self.lo_clamp, self.hi_clamp) \
+            if (self.lo_clamp is not None or self.hi_clamp is not None) else t
+        idx = np.clip(np.searchsorted(self.knots, tc, side="right") - 1,
+                      0, len(self.knots) - 2)
+        dt = tc - self.knots[idx]
+        c3, c2, c1, c0 = (self.coeffs[k][idx] for k in range(4))
+        val = ((c3 * dt + c2) * dt + c1) * dt + c0
+        if not derivatives:
+            return val
+        d1 = (3 * c3 * dt + 2 * c2) * dt + c1
+        d2 = 6 * c3 * dt + 2 * c2
+        d3 = 6 * c3
+        # clamped regions are constants
+        if self.lo_clamp is not None:
+            const = (t < self.lo_clamp) | (t > self.hi_clamp)
+            d1, d2, d3 = (np.where(const, 0.0, d) for d in (d1, d2, d3))
+        return val, d1, d2, d3
+
     def __hash__(self):
         return hash((self.knots.tobytes(), self.coeffs.tobytes(),
                      self.lo_clamp, self.hi_clamp))
@@ -184,6 +210,27 @@ class UniformCubicSpline1D:
                        0, n_cells - 1)
         dt = t - (self.lo + self.step * idx.astype(t.dtype))
         return ((c[0][idx] * dt + c[1][idx]) * dt + c[2][idx]) * dt + c[3][idx]
+
+    def eval_np(self, t, *, derivatives: bool = False):
+        """Host-side f64 evaluation with optional 1st-3rd derivatives."""
+        t = np.asarray(t, dtype=np.float64)
+        tc = np.clip(t, self.lo_clamp, self.hi_clamp) \
+            if (self.lo_clamp is not None or self.hi_clamp is not None) else t
+        n_cells = self.coeffs.shape[1]
+        idx = np.clip(((tc - self.lo) / self.step).astype(np.int64),
+                      0, n_cells - 1)
+        dt = tc - (self.lo + self.step * idx)
+        c3, c2, c1, c0 = (self.coeffs[k][idx] for k in range(4))
+        val = ((c3 * dt + c2) * dt + c1) * dt + c0
+        if not derivatives:
+            return val
+        d1 = (3 * c3 * dt + 2 * c2) * dt + c1
+        d2 = 6 * c3 * dt + 2 * c2
+        d3 = 6 * c3
+        if self.lo_clamp is not None:
+            const = (t < self.lo_clamp) | (t > self.hi_clamp)
+            d1, d2, d3 = (np.where(const, 0.0, d) for d in (d1, d2, d3))
+        return val, d1, d2, d3
 
     def __hash__(self):
         return hash((self.lo, self.step, self.coeffs.tobytes(),
