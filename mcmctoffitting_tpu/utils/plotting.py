@@ -136,6 +136,33 @@ def corner_plot(samples, labels: Optional[Sequence[str]] = None,
     return fig
 
 
+def initial_energy_plot(beam_e: float, e_loss: float, scale: float, s: float,
+                        filename: Optional[str] = None, *,
+                        n_samples: int = 100_000, e_range=(0.0, 2500.0)):
+    """Visualize the beamE - lognorm initial-energy parameterization
+    (``utilities/dumbPlotting.py:32-55``): the analytic pdf of
+    E = beamE - lognorm(s, loc, scale) overlaid on a sampled histogram."""
+    plt = _plt()
+    from scipy.stats import lognorm as sp_lognorm
+    rng = np.random.default_rng(0)
+    samples = beam_e - sp_lognorm.rvs(s, e_loss, scale, size=n_samples,
+                                      random_state=rng)
+    grid = np.linspace(*e_range, 800)
+    pdf = sp_lognorm.pdf(beam_e - grid, s, e_loss, scale)
+    fig, ax = plt.subplots(figsize=(7, 5))
+    ax.hist(samples, bins=200, range=e_range, density=True, color="0.7",
+            label="samples")
+    ax.plot(grid, pdf, color="tab:red", lw=1.5, label="analytic pdf")
+    ax.set_xlabel("Initial deuteron energy (keV)")
+    ax.set_ylabel("density")
+    ax.legend()
+    fig.tight_layout()
+    if filename:
+        fig.savefig(filename, dpi=200)
+        plt.close(fig)
+    return fig
+
+
 def ppc_band_plot(observed, bands, bin_edges=None,
                   filename: Optional[str] = None):
     """Observed counts vs 16/50/84% PPC bands (``tests/testPPC.py:110-139``)."""

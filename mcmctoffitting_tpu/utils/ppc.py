@@ -164,3 +164,24 @@ def collapse_neutron_spectrum(grids: np.ndarray) -> np.ndarray:
     """Sum PPC weight grids over draws and cell length -> eD/eN spectrum
     (``utilities/ppcTools.py:405-411``)."""
     return np.asarray(grids).sum(axis=(0, 1))
+
+
+def rebin(spectrum: np.ndarray, factor: int) -> np.ndarray:
+    """Sum-preserving rebin by an integer factor
+    (``tests/ppcPlotting_oneBD.py:195-230`` rebins spectra before SDEF/CSV
+    export); trailing remainder bins are dropped like the reference's
+    integer reshape."""
+    spectrum = np.asarray(spectrum)
+    n = (spectrum.shape[-1] // factor) * factor
+    return spectrum[..., :n].reshape(
+        spectrum.shape[:-1] + (n // factor, factor)).sum(axis=-1)
+
+
+def export_spectrum_csv(path: str, centers: np.ndarray,
+                        spectrum: np.ndarray) -> None:
+    """CSV export of (energy, counts) rows (``tests/ppcPlotting_oneBD.py``)."""
+    import csv as csvlib
+    with open(path, "w", newline="") as f:
+        w = csvlib.writer(f)
+        for c, v in zip(np.asarray(centers), np.asarray(spectrum)):
+            w.writerow([float(c), float(v)])

@@ -97,3 +97,11 @@ def test_throughput_meter():
     m = Throughput(n_walkers=10)
     rate = m.update(5)
     assert rate > 0 and m.steps == 5
+
+
+def test_initial_energy_plot(tmp_path):
+    from mcmctoffitting_tpu.utils.plotting import initial_energy_plot
+    f = str(tmp_path / "e0.png")
+    initial_energy_plot(1878.4, 850.0, 170.0, 0.5, f, n_samples=5000)
+    import os
+    assert os.path.getsize(f) > 1000

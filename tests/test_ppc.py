@@ -81,3 +81,33 @@ def test_sample_initial_energy_dist():
                                        n_samples=5, n_draws_per=5000)
     assert dists.shape == (5, spec.ed_binning.n)
     assert dists.sum() > 0
+
+
+def test_rebin_and_csv_export(tmp_path):
+    from mcmctoffitting_tpu.utils.ppc import export_spectrum_csv, rebin
+    s = np.arange(10.0)
+    r = rebin(s, 2)
+    np.testing.assert_array_equal(r, [1, 5, 9, 13, 17])
+    assert rebin(s, 3).shape == (3,)  # remainder dropped
+    np.testing.assert_allclose(rebin(s, 3).sum(), s[:9].sum())
+    # batched
+    b = rebin(np.stack([s, 2 * s]), 5)
+    assert b.shape == (2, 2)
+    path = str(tmp_path / "spec.csv")
+    export_spectrum_csv(path, [1.0, 2.0], [10.0, 20.0])
+    rows = open(path).read().strip().splitlines()
+    assert rows[0].startswith("1.0") and rows[1].endswith("20.0")
+
+
+def test_grid_normalization_invariant():
+    """PDF normalization invariant (tests/xsWeightedSampling.py:294-337):
+    the normalized (x, eD) grid integrates to 1 over the bin area."""
+    import jax.numpy as jnp
+    from mcmctoffitting_tpu.models.forward import energy_weight_grid
+    spec = simult.default_spec(n_samples=10_000)
+    e0 = jnp.linspace(500.0, 1200.0, 10_000)
+    grid, _ = energy_weight_grid(spec, e0)
+    area = spec.ed_binning.width * spec.x_binning.width
+    norm = grid / (jnp.sum(grid) * area)
+    integral = float(jnp.sum(norm) * area)
+    np.testing.assert_allclose(integral, 1.0, rtol=1e-5)
