@@ -36,8 +36,8 @@ import numpy as np
 
 from ..config import Binning, cell_attenuation_coeffs
 from ..constants import CellGeometry, TofWindow, masses
-from ..ops.histogram import (histogram_density, weighted_histogram,
-                             weighted_histogram_moments)
+from ..ops.histogram import (delta_moment_histogram, histogram_density,
+                             weighted_histogram)
 from ..ops.kinematics import dd_neutron_energy_np, tof
 from ..ops.pdfs import beam_energy_rvs
 from ..ops.stopping import BetheStopping, StoppingTable, rk4_transport
@@ -127,13 +127,8 @@ def energy_weight_grid(spec: ForwardSpec, e_zeros):
     eb = spec.ed_binning
 
     if spec.xs_mode == "taylor" and hasattr(spec.xs, "eval_np"):
-        u = (e_at_x - eb.lo) / eb.width
-        delta = u - jnp.floor(u) - 0.5          # within-bin offset, [-.5,.5)
-        ones = jnp.ones_like(delta)
-        d2 = delta * delta
-        channels = jnp.stack([ones, delta, d2, d2 * delta], axis=-2)
-        moments = weighted_histogram_moments(
-            e_at_x, eb.lo, eb.hi, eb.n, channels,
+        moments = delta_moment_histogram(
+            e_at_x, eb.lo, eb.hi, eb.n, n_moments=4,
             chunk=spec.histogram_chunk)          # (M, 4, Be)
         s0, s1, s2, s3 = spec.xs.eval_np(eb.centers, derivatives=True)
         w = eb.width

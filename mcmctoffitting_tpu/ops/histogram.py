@@ -94,43 +94,70 @@ def weighted_histogram(values, lo: float, hi: float, n_bins: int,
     return out
 
 
-def weighted_histogram_moments(values, lo: float, hi: float, n_bins: int,
-                               channels, *, chunk: int = 8192):
-    """Multi-channel weighted histogram: C weight channels in one MXU pass.
+def delta_moment_histogram(values, lo: float, hi: float, n_bins: int,
+                           n_moments: int = 4, *, chunk: int = 8192,
+                           extra_weight=None):
+    """Within-bin-offset moment histograms, one MXU pass per chunk.
 
-    values: (..., N); channels: (..., C, N) -> (..., C, n_bins).
-    The one-hot block is built once per chunk and contracted against all C
-    channels in a single dot — the marginal cost of extra channels is tiny.
-    Used for the gather-free Taylor cross-section weighting
-    (``models/forward.py``): channels (1, delta, delta^2).
+    For each bin j accumulates M_p[j] = sum_{s in bin j} delta_s^p for
+    p = 0..n_moments-1, where delta_s = (v_s - center_j)/binwidth in
+    [-0.5, 0.5).  Moment channels are built INSIDE the chunk loop (never
+    materialized at full length) and contracted against the chunk's one-hot
+    block in a single dot.  Out-of-range samples contribute nothing; values
+    exactly equal to ``hi`` land in the last bin (np.histogram semantics).
+
+    values: (..., N) -> (..., n_moments, n_bins) float32.
+    ``extra_weight``: optional (..., N) multiplier on every channel (e.g. a
+    per-sample prior weight).
+
+    This is the engine of the gather-free Taylor cross-section weighting
+    (``models/forward.py``): contract the result with the spline's
+    (sigma, sigma' w, sigma'' w^2/2, sigma''' w^3/6) at the bin centers.
     """
-    v = jnp.asarray(values)
-    ch = jnp.asarray(channels, dtype=jnp.float32)
-    idx, in_range = bin_index(v, lo, hi, n_bins)
-    ch = jnp.where(in_range[..., None, :], ch, 0.0)
-
+    v = jnp.asarray(values, jnp.float32)
     n = v.shape[-1]
     chunk = min(chunk, n)
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
     if pad:
-        idx = jnp.concatenate(
-            [idx, jnp.zeros(idx.shape[:-1] + (pad,), idx.dtype)], axis=-1)
-        ch = jnp.concatenate(
-            [ch, jnp.zeros(ch.shape[:-1] + (pad,), ch.dtype)], axis=-1)
-    idx_c = jnp.moveaxis(idx.reshape(idx.shape[:-1] + (n_chunks, chunk)),
-                         -2, 0)
-    # (..., C, K, chunk) -> (K, ..., C, chunk)
-    ch_c = jnp.moveaxis(ch.reshape(ch.shape[:-1] + (n_chunks, chunk)),
-                        -2, 0)
+        # pad with an out-of-range sentinel so padded lanes drop out
+        v = jnp.concatenate(
+            [v, jnp.full(v.shape[:-1] + (pad,), lo - 1.0, v.dtype)], axis=-1)
+        if extra_weight is not None:
+            extra_weight = jnp.concatenate(
+                [jnp.asarray(extra_weight, jnp.float32),
+                 jnp.zeros(extra_weight.shape[:-1] + (pad,), jnp.float32)],
+                axis=-1)
+    v_c = jnp.moveaxis(v.reshape(v.shape[:-1] + (n_chunks, chunk)), -2, 0)
+    if extra_weight is not None:
+        w_c = jnp.moveaxis(
+            jnp.asarray(extra_weight, jnp.float32).reshape(
+                v.shape[:-1] + (n_chunks, chunk)), -2, 0)
+    else:
+        w_c = None
 
     bins = jnp.arange(n_bins, dtype=jnp.int32)
-    batch_nd = idx_c.ndim - 2  # leading batch dims after K
+    inv_width = n_bins / (hi - lo)
 
     def body(acc, inputs):
-        i_blk, c_blk = inputs  # (..., chunk), (..., C, chunk)
-        onehot = (i_blk[..., None] == bins).astype(c_blk.dtype)
-        # (..., C, chunk) x (..., chunk, B) -> (..., C, B)
+        if w_c is None:
+            v_blk = inputs
+            w_blk = None
+        else:
+            v_blk, w_blk = inputs
+        u = (v_blk - lo) * inv_width
+        idx = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, n_bins - 1)
+        in_range = (v_blk >= lo) & (v_blk <= hi)
+        delta = u - idx.astype(u.dtype) - 0.5
+        base = jnp.where(in_range, 1.0, 0.0)
+        if w_blk is not None:
+            base = base * w_blk
+        chans = [base]
+        for _ in range(n_moments - 1):
+            chans.append(chans[-1] * delta)
+        c_blk = jnp.stack(chans, axis=-2)  # (..., C, chunk)
+        onehot = (idx[..., None] == bins).astype(v_blk.dtype)
+        batch_nd = v_blk.ndim - 1
         contrib = jax.lax.dot_general(
             c_blk, onehot,
             dimension_numbers=(((c_blk.ndim - 1,), (onehot.ndim - 2,)),
@@ -139,8 +166,9 @@ def weighted_histogram_moments(values, lo: float, hi: float, n_bins: int,
             preferred_element_type=jnp.float32)
         return acc + contrib, None
 
-    acc0 = jnp.zeros(ch.shape[:-1] + (n_bins,), jnp.float32)
-    out, _ = jax.lax.scan(body, acc0, (idx_c, ch_c))
+    acc0 = jnp.zeros(v.shape[:-1] + (n_moments, n_bins), jnp.float32)
+    xs_in = v_c if w_c is None else (v_c, w_c)
+    out, _ = jax.lax.scan(body, acc0, xs_in)
     return out
 
 
