@@ -70,7 +70,9 @@ def main(argv=None) -> dict:
     n_steps = args.nSteps or cfg["n_steps"]
     n_draws = args.nDraws
     if args.debug:
-        n_walkers, n_steps, n_draws = 16, 30, 20_000
+        # keep draws high enough that the multinomial likelihood rarely
+        # sees zero-model bins (-inf) — acceptance stays healthy
+        n_walkers, n_steps, n_draws = 16, 40, 100_000
 
     window = (TofWindow(175.0, 200.0, 25) if args.model == "v0"
               else TofWindow(175.0, 225.0, 50))
