@@ -25,8 +25,15 @@ def main(argv=None) -> dict:
     from ..utils.plotting import (corner_plot, lnprob_scatter, param_hist,
                                   trace_plot)
 
-    chain, probs, n_params, n_walkers, n_steps = chain_io.read_chain_text(
-        args.filename)
+    import os
+    import sys
+    if not os.path.exists(args.filename):
+        sys.exit(f"error: chain file not found: {args.filename}")
+    try:
+        chain, probs, n_params, n_walkers, n_steps = \
+            chain_io.read_chain_text(args.filename)
+    except Exception as e:
+        sys.exit(f"error: could not parse chain file {args.filename}: {e}")
     print(f"chain: {n_steps} steps x {n_walkers} walkers x {n_params} params")
     names = args.paramNames.split(",") if args.paramNames else None
 

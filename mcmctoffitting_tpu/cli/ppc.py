@@ -41,8 +41,16 @@ def main(argv=None) -> dict:
     from ..utils.ppc import (PPCSampler, collapse_neutron_spectrum,
                              make_sdef_sia_cumulative, percentile_bands)
 
-    chain, probs, n_params, n_walkers, n_steps = chain_io.read_chain_text(
-        args.chainFilename)
+    import os
+    import sys
+    if not os.path.exists(args.chainFilename):
+        sys.exit(f"error: chain file not found: {args.chainFilename}")
+    try:
+        chain, probs, n_params, n_walkers, n_steps = \
+            chain_io.read_chain_text(args.chainFilename)
+    except Exception as e:
+        sys.exit(f"error: could not parse chain file "
+                 f"{args.chainFilename}: {e}")
     print(f"chain: {n_steps} steps x {n_walkers} walkers x {n_params} params")
 
     if args.model == "simult":

@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="eval walkers in chunks of this size (memory cap)")
     p.add_argument("-segment", default=10, type=int,
                    help="steps per device->host chain flush")
+    p.add_argument("-resume", default="", type=str,
+                   help="resume the MAIN phase from a .ckpt.npz checkpoint "
+                        "(skips burn-in; exact continuation incl. PRNG)")
     return p
 
 
@@ -95,19 +98,25 @@ def main(argv=None) -> dict:
     else:
         logp_batch = make_logp_batch(logp, chunk=chunk)
 
-    p0 = problem.initial_walkers_from_observed(
-        jax.random.fold_in(key, 1), n_walkers, observed)
-    state = init_state(jax.random.fold_in(key, 2), p0, logp_batch)
-
     prefix = args.outputPrefix
     burnin_path = prefix + "burninchain.dat"
     main_path = prefix + "mainchain.dat"
+    if args.resume:
+        state, _ = chain_io.load_checkpoint(args.resume)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
+        phases = (("main", main_path, main_steps),)
+    else:
+        p0 = problem.initial_walkers_from_observed(
+            jax.random.fold_in(key, 1), n_walkers, observed)
+        state = init_state(jax.random.fold_in(key, 2), p0, logp_batch)
+        phases = (("burn-in", burnin_path, burnin_steps),
+                  ("main", main_path, main_steps))
     t0 = time.time()
     total_steps = 0
 
-    for phase, path, n_steps in (("burn-in", burnin_path, burnin_steps),
-                                 ("main", main_path, main_steps)):
-        open(path, "w").close()
+    for phase, path, n_steps in phases:
+        if not (args.resume and phase == "main"):
+            open(path, "w").close()
         done = 0
         while done < n_steps:
             seg = min(args.segment, n_steps - done)
