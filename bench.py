@@ -25,7 +25,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 N_WALKERS = 256
 N_RUNS = 4
 N_DRAWS = 200_000
-N_STEPS_MEASURE = 2
+N_STEPS_MEASURE = 10
 WALKER_CHUNK = 32  # lnprob evals per vmap block (memory cap)
 
 
