@@ -53,7 +53,6 @@ def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
 
     from ..models import simult
     from ..parallel import make_mesh, make_sharded_logp_batch

@@ -12,7 +12,6 @@ Units follow the reference convention throughout: keV, cm, ns
 from __future__ import annotations
 
 import dataclasses
-import math
 
 
 @dataclasses.dataclass(frozen=True)

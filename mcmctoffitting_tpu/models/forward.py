@@ -41,9 +41,8 @@ from ..ops.histogram import (delta_moment_histogram, histogram_density,
 from ..ops.kinematics import dd_neutron_energy_np, tof
 from ..ops.pdfs import beam_energy_rvs
 from ..ops.stopping import BetheStopping, StoppingTable, rk4_transport
-from ..ops.timing import (ExGaussianTiming, GaussianTiming,
-                          ZeroDegreeTimingSpread, apply_zero_degree_expo,
-                          zero_degree_expo_kernel)
+from ..ops.timing import (ExGaussianTiming, ZeroDegreeTimingSpread,
+                          apply_zero_degree_expo)
 from ..ops.xs import ddn_xs_uniform
 
 

@@ -24,9 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Binning
-from ..constants import TUNL_SSA_CSI, TofWindow, masses, tof_windows
+from ..constants import TUNL_SSA_CSI, TofWindow, tof_windows
 from ..ops.histogram import histogram_density, weighted_histogram
-from ..ops.kinematics import tof
 from ..ops.likelihoods import template_gaussian_loglike
 from ..ops.stopping import d2_gas_stopping
 from ..ops.timing import ExGaussianTiming
