@@ -1,0 +1,56 @@
+"""CLI argument surfaces: parser parity with the reference drivers.
+
+Parsers are cheap to test (no jax); the full drivers are exercised
+end-to-end by the project verify skill (.claude/skills/verify/SKILL.md).
+"""
+import pytest
+
+
+def test_simult_fit_parser_surface():
+    from mcmctoffitting_tpu.cli.simult_fit import build_parser
+    p = build_parser()
+    a = p.parse_args(["-nRuns", "4", "-debug", "1", "-nDrawsPerEval",
+                      "100000", "-nBurninSteps", "10", "-nMainSteps", "5",
+                      "-outputPrefix", "x_", "-quitEarly", "1"])
+    assert a.nRuns == 4 and a.debug == 1 and a.nDrawsPerEval == 100000
+    assert a.outputPrefix == "x_"
+    # reference choice constraint (tests/simultFit.py:43)
+    with pytest.raises(SystemExit):
+        p.parse_args(["-nRuns", "9"])
+
+
+def test_csi_onebd_parser_surface():
+    from mcmctoffitting_tpu.cli.csi_onebd import build_parser
+    p = build_parser()
+    a = p.parse_args(["-qnd", "-hardcore", "-shiftTOF", "2",
+                      "-nWalkers", "128"])
+    assert a.qnd and a.hardcore and a.shiftTOF == 2 and a.nWalkers == 128
+    # all reference flags present (tests/csi_oneBD.py:58-76)
+    for flag in ("-inputDataFilename", "-debug", "-quitEarly", "-batch",
+                 "-nDrawsPerEval", "-nBurninSteps", "-nMainSteps",
+                 "-outputPrefix", "-nWalkers", "-quickish"):
+        assert any(flag in str(act.option_strings) for act in p._actions), \
+            f"missing reference flag {flag}"
+
+
+def test_simple_tof_model_configs():
+    from mcmctoffitting_tpu.cli.simple_tof import MODEL_CONFIGS
+    assert set(MODEL_CONFIGS) == {"v0", "v1", "v2", "v2.5"}
+    assert MODEL_CONFIGS["v0"]["n_dim"] == 3      # simpleTOFmodel
+    assert MODEL_CONFIGS["v1"]["n_dim"] == 5      # simpleTOFfit
+    assert MODEL_CONFIGS["v2"]["n_dim"] == 6      # intermediateTOFfit
+    assert MODEL_CONFIGS["v2.5"]["n_dim"] == 2    # intermediateTOFmodel
+    # v0 reproduces the reference's truth and sampler scale
+    assert MODEL_CONFIGS["v0"]["truth"] == (1100.0, -100.0, 50.0)
+    assert MODEL_CONFIGS["v0"]["n_walkers"] == 50
+    assert MODEL_CONFIGS["v0"]["n_steps"] == 500
+
+
+def test_quit_early(tmp_path, monkeypatch):
+    """-quitEarly stops after setup (tests/simultFit.py:549-550)."""
+    monkeypatch.chdir(tmp_path)
+    import os
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    from mcmctoffitting_tpu.cli.simult_fit import main
+    out = main(["-quitEarly", "1", "-debug", "1", "-nRuns", "1"])
+    assert out["status"] == "quitEarly"
