@@ -64,3 +64,46 @@ def test_jittable_and_grad_safe():
     out = np.asarray(f(v, w))
     want, _ = np.histogram(v, 8, (0.0, 1.0), weights=w)
     np.testing.assert_allclose(out, want, rtol=1e-5)
+
+
+def test_delta_moment_histogram_matches_manual():
+    from mcmctoffitting_tpu.ops.histogram import delta_moment_histogram
+    rng = np.random.default_rng(7)
+    v = rng.uniform(-0.2, 1.2, (3, 5000)).astype(np.float32)
+    lo, hi, nb = 0.0, 1.0, 20
+    got = np.asarray(delta_moment_histogram(v, lo, hi, nb, n_moments=4,
+                                            chunk=512))
+    assert got.shape == (3, 4, nb)
+    w = (hi - lo) / nb
+    for r in range(3):
+        vr = v[r]
+        inr = (vr >= lo) & (vr <= hi)
+        idx = np.clip(((vr - lo) / w).astype(int), 0, nb - 1)
+        delta = (vr - lo) / w - idx - 0.5
+        for p in range(4):
+            want = np.bincount(idx[inr], weights=(delta ** p)[inr],
+                               minlength=nb)
+            np.testing.assert_allclose(got[r, p], want, rtol=2e-4,
+                                       atol=2e-3)
+
+
+def test_delta_moment_histogram_extra_weight():
+    from mcmctoffitting_tpu.ops.histogram import delta_moment_histogram
+    rng = np.random.default_rng(8)
+    v = rng.uniform(0, 1, (2, 1000)).astype(np.float32)
+    ew = rng.uniform(0, 3, (2, 1000)).astype(np.float32)
+    got = np.asarray(delta_moment_histogram(v, 0.0, 1.0, 10, n_moments=2,
+                                            chunk=256, extra_weight=ew))
+    for r in range(2):
+        idx = np.clip((v[r] * 10).astype(int), 0, 9)
+        want0 = np.bincount(idx, weights=ew[r], minlength=10)
+        np.testing.assert_allclose(got[r, 0], want0, rtol=2e-4, atol=1e-2)
+
+
+def test_delta_moment_zeroth_equals_counts():
+    from mcmctoffitting_tpu.ops.histogram import delta_moment_histogram
+    rng = np.random.default_rng(9)
+    v = rng.uniform(0, 1, (1, 3000)).astype(np.float32)
+    got = np.asarray(delta_moment_histogram(v, 0.0, 1.0, 25))
+    want, _ = np.histogram(v[0], 25, (0.0, 1.0))
+    np.testing.assert_array_equal(got[0, 0], want.astype(np.float32))
