@@ -235,3 +235,70 @@ def tof_spectrum(key, params, spec: ForwardSpec, standoff: float,
         en_at_x = draws  # weight per (x, eD) cell == neutron yield spectrum
         return out, grid, en_at_x
     return out
+
+
+def tof_spectra_multi(run_keys, params, spec: ForwardSpec,
+                      standoffs: tuple, windows: tuple, scales,
+                      bg_levels=None, *, get_pdf: bool = True):
+    """All runs of a joint fit in one program, sharing the batched hot path.
+
+    Statistically identical to calling :func:`tof_spectrum` once per run
+    with ``run_keys[r]`` (independent draws per run, independent e0_mean,
+    reference semantics) — but the expensive stages (beam sampling,
+    transport, moment histograms) execute batched over the run axis, so a
+    4-run likelihood costs ~1 batched forward instead of 4 sequential ones.
+    Only the cheap per-run TOF stage (different window bin counts) loops.
+
+    run_keys: (R,) keys; scales: (R,); bg_levels: (R,) or None.
+    Returns a tuple of R spectra.
+    """
+    n_runs = len(standoffs)
+    beam_e, e_loss, scale_ln, s = params[0], params[1], params[2], params[3]
+
+    draw_keys = []
+    bg_keys = []
+    for r in range(n_runs):
+        kd, kb = jax.random.split(run_keys[r])
+        draw_keys.append(kd)
+        bg_keys.append(kb)
+    e_zeros = jax.vmap(lambda k: beam_energy_rvs(
+        k, spec.n_samples, beam_e, e_loss, scale_ln, s,
+        spec.n_redraw_rounds))(jnp.stack(draw_keys))      # (R, N)
+
+    grids, _ = jax.vmap(lambda e: energy_weight_grid(spec, e))(e_zeros)
+    area = spec.ed_binning.width * spec.x_binning.width
+    grids = grids / (jnp.sum(grids, axis=(1, 2), keepdims=True) * area)
+    draws = grids * spec.n_samples
+    if spec.rint_draws:
+        draws = jnp.rint(draws)
+    e0_means = jnp.mean(e_zeros, axis=-1)                 # (R,)
+
+    if spec.zero_degree == "segments":
+        zd = ZeroDegreeTimingSpread(length=spec.geometry.zero_deg_length)
+        zt, zw = zd.times_and_weights(
+            jnp.asarray(spec.en_centers(), dtype=jnp.float32))  # (Be, K)
+
+    out = []
+    for r in range(n_runs):
+        base_tof = cell_tof_lattice(spec, standoffs[r], e0_means[r])
+        if spec.zero_degree == "segments":
+            values = base_tof[:, :, None] + zt[None, :, :]
+            weights = draws[r][:, :, None] * zw[None, :, :]
+        else:
+            values = base_tof
+            weights = draws[r]
+        win = windows[r]
+        hist = weighted_histogram(values.reshape(-1), win.lo, win.hi,
+                                  win.n_bins, weights.reshape(-1),
+                                  chunk=spec.histogram_chunk)
+        if get_pdf:
+            hist = histogram_density(hist, win.lo, win.hi)
+        if spec.zero_degree == "expo":
+            hist = apply_zero_degree_expo(hist)
+        spectrum = scales[r] * spec.beam_timing.apply_spreading(hist)
+        if bg_levels is not None:
+            spectrum = spectrum + jax.random.poisson(
+                bg_keys[r], bg_levels[r], (win.n_bins,)).astype(
+                    spectrum.dtype)
+        out.append(spectrum)
+    return tuple(out)

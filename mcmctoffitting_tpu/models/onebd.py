@@ -23,7 +23,7 @@ from ..constants import (TUNL_SSA_CSI_ONEBD, TofWindow, onebd_consts,
 from ..ops.likelihoods import box_lnprior, poisson_binned_loglike
 from ..ops.stopping import StoppingTable, d2_gas_stopping
 from ..ops.timing import GaussianTiming
-from .forward import ForwardSpec, tof_spectrum
+from .forward import ForwardSpec, tof_spectra_multi, tof_spectrum
 
 RUN_LAYOUT = ("close", "mid", "far")
 
@@ -125,12 +125,19 @@ class OneBDProblem:
     def log_prob(self, theta, key, observed) -> jax.Array:
         prior = box_lnprior(theta, self.param_lo, self.param_hi,
                             inclusive=True)
+        beam_e = onebd_consts.beam_reference_energy
+        params = jnp.stack([jnp.asarray(beam_e, jnp.float32), theta[0],
+                            theta[1], theta[2]])
+        run_keys = [jax.random.fold_in(key, run)
+                    for run in range(self.n_runs)]
+        spectra = tof_spectra_multi(
+            run_keys, params, self.spec, self.standoffs, self.windows,
+            theta[3: 3 + self.n_runs],
+            theta[3 + self.n_runs: 3 + 2 * self.n_runs])
         total = prior
         for run in range(self.n_runs):
-            k_run = jax.random.fold_in(key, run)
-            model = self.run_spectrum(k_run, theta, run, get_pdf=True)
-            ll = poisson_binned_loglike(model, jnp.asarray(observed[run]))
-            total = total + ll
+            total = total + poisson_binned_loglike(
+                spectra[run], jnp.asarray(observed[run]))
         return jnp.where(jnp.isneginf(prior), -jnp.inf,
                          jnp.where(jnp.isnan(total), -jnp.inf, total))
 

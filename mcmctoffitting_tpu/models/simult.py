@@ -19,7 +19,7 @@ from ..constants import TUNL_SSA_CSI, TofWindow, tof_windows
 from ..ops.likelihoods import box_lnprior, poisson_binned_loglike
 from ..ops.stopping import d2_gas_stopping
 from ..ops.timing import ExGaussianTiming
-from .forward import ForwardSpec, tof_spectrum
+from .forward import ForwardSpec, tof_spectra_multi, tof_spectrum
 
 # run index -> (standoff name, window name); tests/simultFit.py:121-156
 RUN_LAYOUT = ("mid", "close", "close", "far", "production")
@@ -114,12 +114,15 @@ class SimultFitProblem:
         """
         prior = box_lnprior(theta, self.param_lo, self.param_hi,
                             inclusive=True)
+        run_keys = [jax.random.fold_in(key, run)
+                    for run in range(self.n_runs)]
+        spectra = tof_spectra_multi(run_keys, theta[:4], self.spec,
+                                    self.standoffs, self.windows,
+                                    theta[4: 4 + self.n_runs])
         total = prior
         for run in range(self.n_runs):
-            k_run = jax.random.fold_in(key, run)
-            model = self.run_spectrum(k_run, theta, run, get_pdf=True)
-            ll = poisson_binned_loglike(model, jnp.asarray(observed[run]))
-            total = total + ll
+            total = total + poisson_binned_loglike(
+                spectra[run], jnp.asarray(observed[run]))
         return jnp.where(jnp.isneginf(prior), -jnp.inf,
                          jnp.where(jnp.isnan(total), -jnp.inf, total))
 

@@ -136,6 +136,30 @@ def corner_plot(samples, labels: Optional[Sequence[str]] = None,
     return fig
 
 
+def model_overlay_plot(observed, model, filename: Optional[str] = None):
+    """Observed vs model counts with residuals, the checkLikelihoodEval
+    figure (``tests/simultFit.py:500-512``)."""
+    plt = _plt()
+    obs = np.asarray(observed)
+    mod = np.asarray(model)
+    idx = np.arange(len(obs))
+    fig, (ax_overlay, ax_resid) = plt.subplots(2, figsize=(7, 6),
+                                               sharex=True)
+    ax_overlay.scatter(idx, obs, color="green", s=14, label="observed")
+    ax_overlay.scatter(idx, mod, color="red", s=14, label="model")
+    ax_overlay.set_ylabel("Counts")
+    ax_overlay.legend()
+    ax_resid.scatter(idx, obs - mod, s=14, color="k")
+    ax_resid.axhline(0, color="0.5", lw=0.8)
+    ax_resid.set_ylabel("Residual")
+    ax_resid.set_xlabel("TOF bin")
+    fig.tight_layout()
+    if filename:
+        fig.savefig(filename, dpi=200)
+        plt.close(fig)
+    return fig
+
+
 def initial_energy_plot(beam_e: float, e_loss: float, scale: float, s: float,
                         filename: Optional[str] = None, *,
                         n_samples: int = 100_000, e_range=(0.0, 2500.0)):

@@ -105,3 +105,14 @@ def test_initial_energy_plot(tmp_path):
     initial_energy_plot(1878.4, 850.0, 170.0, 0.5, f, n_samples=5000)
     import os
     assert os.path.getsize(f) > 1000
+
+
+def test_model_overlay_plot(tmp_path):
+    from mcmctoffitting_tpu.utils.plotting import model_overlay_plot
+    rng = np.random.default_rng(5)
+    obs = rng.poisson(200, 45)
+    mod = obs + rng.normal(0, 10, 45)
+    f = str(tmp_path / "overlay.png")
+    model_overlay_plot(obs, mod, f)
+    import os
+    assert os.path.getsize(f) > 1000

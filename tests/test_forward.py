@@ -193,3 +193,22 @@ def test_fixed_param_problem_one_param():
     # frozen out-of-range free param -> -inf via base prior
     assert float(logp(jnp.asarray([-5.0]), KEY)) == -np.inf
     np.testing.assert_allclose(fp.collapse(full), [1900.0])
+
+
+def test_multi_run_matches_per_run_loop():
+    """tof_spectra_multi must equal per-run tof_spectrum calls with the
+    same fold_in keys (batched hot path, identical statistics)."""
+    from mcmctoffitting_tpu.models.forward import (tof_spectra_multi,
+                                                   tof_spectrum)
+    prob = simult.SimultFitProblem(SPEC_SIM, n_runs=3)
+    theta4 = THETA_SIM
+    scales = jnp.asarray([1e4, 2e4, 3e4])
+    run_keys = [jax.random.fold_in(KEY, r) for r in range(3)]
+    multi = tof_spectra_multi(run_keys, theta4, SPEC_SIM, prob.standoffs,
+                              prob.windows, scales)
+    for r in range(3):
+        single = tof_spectrum(run_keys[r], theta4, SPEC_SIM,
+                              prob.standoffs[r], prob.windows[r],
+                              get_pdf=True, scale=scales[r])
+        np.testing.assert_allclose(np.asarray(multi[r]),
+                                   np.asarray(single), rtol=2e-4, atol=1e-3)
