@@ -112,30 +112,79 @@ def _transport_all(spec: ForwardSpec, e_zeros):
                          n_substeps=spec.rk4_substeps)
 
 
+def _taylor_coeffs(spec: ForwardSpec) -> np.ndarray:
+    """(4, Be) contraction constants: (sigma, sigma' w, sigma'' w^2/2,
+    sigma''' w^3/6) at the eD bin centers."""
+    eb = spec.ed_binning
+    s0, s1, s2, s3 = spec.xs.eval_np(eb.centers, derivatives=True)
+    w = eb.width
+    return np.stack([s0, s1 * w, 0.5 * s2 * w * w,
+                     (1.0 / 6.0) * s3 * w ** 3])
+
+
 def energy_weight_grid(spec: ForwardSpec, e_zeros):
-    """Steps 2-3: transported energies -> XS-weighted (x_bins, eD_bins) grid.
+    """Steps 2-3: initial energies -> XS-weighted (x_bins, eD_bins) grid.
 
     Mirrors the per-x-bin weighted histograms of the reference
-    (``tests/simultFit.py:256-265``, ``tests/csi_oneBD.py:452-465``) as one
-    batched one-hot matmul.  Default path ('taylor') avoids per-sample
-    cross-section gathers entirely: accumulate within-bin offset moments
-    (1, d, d^2, d^3) and contract with the spline's value/derivatives at
-    the bin centers (see ForwardSpec.xs_mode).
+    (``tests/simultFit.py:256-265``, ``tests/csi_oneBD.py:452-465``).
+
+    Default path ('taylor') STREAMS: a ``lax.scan`` over sample chunks
+    transports each chunk through all x-bin centers and immediately reduces
+    it into within-bin offset moment histograms (1, d, d^2, d^3) with a
+    one-hot MXU dot — the (x_bins, N) transported-energy array is never
+    materialized (peak memory O(x_bins * chunk), which is what lets the
+    walker-and-run-batched joint likelihood fit in HBM).  The moments are
+    then contracted with the cross-section spline's value/derivatives at
+    the bin centers — no per-sample spline gathers (see
+    ForwardSpec.xs_mode for the accuracy argument).
     """
-    e_at_x = _transport_all(spec, e_zeros)  # (M, N)
     eb = spec.ed_binning
 
     if spec.xs_mode == "taylor" and hasattr(spec.xs, "eval_np"):
-        moments = delta_moment_histogram(
-            e_at_x, eb.lo, eb.hi, eb.n, n_moments=4,
-            chunk=spec.histogram_chunk)          # (M, 4, Be)
-        s0, s1, s2, s3 = spec.xs.eval_np(eb.centers, derivatives=True)
-        w = eb.width
-        taylor = np.stack([s0, s1 * w, 0.5 * s2 * w * w,
-                           (1.0 / 6.0) * s3 * w ** 3])  # (4, Be)
-        grid = jnp.sum(moments * jnp.asarray(taylor, dtype=moments.dtype),
-                       axis=-2)                  # (M, Be)
+        n = e_zeros.shape[-1]
+        chunk = min(spec.histogram_chunk, n)
+        n_chunks = -(-n // chunk)
+        pad = n_chunks * chunk - n
+        e0 = jnp.asarray(e_zeros, jnp.float32)
+        valid = jnp.ones_like(e0)
+        if pad:
+            e0 = jnp.concatenate(
+                [e0, jnp.full((pad,), eb.lo, e0.dtype)], axis=-1)
+            valid = jnp.concatenate(
+                [valid, jnp.zeros((pad,), valid.dtype)], axis=-1)
+        e0_c = e0.reshape(n_chunks, chunk)
+        valid_c = valid.reshape(n_chunks, chunk)
+
+        bins = jnp.arange(eb.n, dtype=jnp.int32)
+        inv_width = eb.n / (eb.hi - eb.lo)
+        n_x = spec.x_binning.n
+
+        def body(acc, inputs):
+            e0_blk, valid_blk = inputs
+            e_at_x = _transport_all(spec, e0_blk)        # (M, chunk)
+            u = (e_at_x - eb.lo) * inv_width
+            idx = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, eb.n - 1)
+            in_range = (e_at_x >= eb.lo) & (e_at_x <= eb.hi)
+            delta = u - idx.astype(u.dtype) - 0.5
+            base = jnp.where(in_range, valid_blk[None, :], 0.0)
+            d2 = delta * delta
+            chans = jnp.stack([base, base * delta, base * d2,
+                               base * d2 * delta], axis=-2)  # (M, 4, chunk)
+            onehot = (idx[:, :, None] == bins).astype(jnp.float32)
+            contrib = jax.lax.dot_general(
+                chans, onehot,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)      # (M, 4, Be)
+            return acc + contrib, None
+
+        acc0 = jnp.zeros((n_x, 4, eb.n), jnp.float32)
+        moments, _ = jax.lax.scan(body, acc0, (e0_c, valid_c))
+        taylor = _taylor_coeffs(spec)
+        grid = jnp.sum(moments * jnp.asarray(taylor, jnp.float32),
+                       axis=-2)                          # (M, Be)
+        e_at_x = None
     else:
+        e_at_x = _transport_all(spec, e_zeros)  # (M, N)
         w = spec.xs(e_at_x)
         grid = weighted_histogram(e_at_x, eb.lo, eb.hi, eb.n, w,
                                   chunk=spec.histogram_chunk)  # (M, Be)

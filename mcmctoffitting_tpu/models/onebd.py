@@ -62,6 +62,8 @@ def default_spec(n_samples: int = 200_000, *,
         n_samples=n_samples,
         # the oneBD driver disabled the redraw loop (tests/csi_oneBD.py:440)
         n_redraw_rounds=0,
+        # see simult.default_spec: bound the batched one-hot block
+        histogram_chunk=4096,
     )
 
 

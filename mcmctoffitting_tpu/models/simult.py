@@ -49,6 +49,10 @@ def default_spec(n_samples: int = 200_000) -> ForwardSpec:
         zero_degree="segments",
         cell_attenuation=False,
         n_samples=n_samples,
+        # one-hot block peak memory scales as walker_chunk * n_runs * x_bins
+        # * histogram_chunk * eD_bins; 4096 keeps the fully batched joint
+        # likelihood (32 walkers x 4 runs) under ~4 GB of HBM
+        histogram_chunk=4096,
     )
 
 

@@ -41,13 +41,15 @@ def test_simult_spectrum_scales_linearly():
 
 
 def test_energy_weight_grid_shape():
+    from mcmctoffitting_tpu.models.forward import _transport_all
     e0 = jnp.linspace(600.0, 1100.0, 5000)
-    grid, e_at_x = energy_weight_grid(SPEC_SIM, e0)
+    grid, _ = energy_weight_grid(SPEC_SIM, e0)
     assert grid.shape == (10, 50)
+    assert float(jnp.sum(grid)) > 0
+    e_at_x = _transport_all(SPEC_SIM, e0)
     assert e_at_x.shape == (10, 5000)
     # all transported energies below initial
     assert float(jnp.max(e_at_x)) < 1100.0
-    assert float(jnp.sum(grid)) > 0
 
 
 def test_cell_tof_lattice_against_oracle():
