@@ -60,7 +60,9 @@ def main(argv=None) -> dict:
         n_draws = 60_000
     if args.debug:
         n_draws = 5000
-    n_walkers = 2 * 9 if args.debug else args.nWalkers
+    # debug shrinks the ensemble unless -nWalkers was given explicitly
+    n_walkers = (2 * 9 if args.debug and args.nWalkers == 256
+                 else args.nWalkers)
     burnin_steps = 10 if args.debug else args.nBurninSteps
     main_steps = 10 if args.debug else args.nMainSteps
 
