@@ -72,13 +72,20 @@ def main(argv=None) -> dict:
     if args.inputDataFilename:
         tof_data = data_io.read_multi_standoff_tof_data(
             args.inputDataFilename, 3)
-        observed = []
-        for i, w in enumerate(problem.windows):
-            counts, _ = data_io.select_window(tof_data, i, w.lo, w.hi)
-            if args.shiftTOF:
-                counts = np.roll(counts, args.shiftTOF)
-            observed.append(counts)
-        observed = tuple(observed)
+        # -shiftTOF relabels the count rows against the time axis by whole
+        # bins BEFORE window selection (tests/csi_oneBD.py:698-706)
+        shift = args.shiftTOF
+        if shift > 0:
+            edges = tof_data[:-shift, 0]
+            tof_data = tof_data[shift:].copy()
+            tof_data[:, 0] = edges
+        elif shift < 0:
+            edges = tof_data[-shift:, 0]
+            tof_data = tof_data[:shift].copy()
+            tof_data[:, 0] = edges
+        observed = tuple(
+            data_io.select_window(tof_data, i, w.lo, w.hi)[0]
+            for i, w in enumerate(problem.windows))
     else:
         truth = np.array([1300.0, 80.0, 0.6, 5e4, 5e4, 5e4,
                           20.0, 20.0, 20.0])

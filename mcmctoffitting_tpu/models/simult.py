@@ -42,9 +42,9 @@ def default_spec(n_samples: int = 200_000) -> ForwardSpec:
         x_binning=SIMULTFIT_X_BINNING,
         stopping=d2_gas_stopping(rho=8.565e-5),
         transport="rk4",
-        # 2 substeps match dopri5 to <4e-4 keV over this x grid (the f32
-        # round-off floor); see test_stopping.py
-        rk4_substeps=2,
+        # 1 substep matches dopri5 to ~1e-3 keV over this x grid (below any
+        # physical relevance; 2 is the f32 floor); see test_stopping.py
+        rk4_substeps=1,
         beam_timing=ExGaussianTiming(),
         zero_degree="segments",
         cell_attenuation=False,

@@ -54,3 +54,25 @@ def test_quit_early(tmp_path, monkeypatch):
     from mcmctoffitting_tpu.cli.simult_fit import main
     out = main(["-quitEarly", "1", "-debug", "1", "-nRuns", "1"])
     assert out["status"] == "quitEarly"
+
+
+def test_shift_tof_semantics(tmp_path, monkeypatch):
+    """-shiftTOF relabels count rows against the time axis before window
+    selection (tests/csi_oneBD.py:698-706): counts slide by whole bins."""
+    import numpy as np
+    from mcmctoffitting_tpu.utils import data_io
+    edges = np.arange(60.0, 240.0, 4.0)
+    counts = np.column_stack([np.arange(len(edges))] * 3).astype(float)
+    path = str(tmp_path / "data.tsv")
+    data_io.write_multi_standoff_tof_data(path, edges, counts)
+
+    td = data_io.read_multi_standoff_tof_data(path, 3)
+    base, _ = data_io.select_window(td, 0, 80.0, 180.0)
+
+    # emulate shift=+2 like the CLI does
+    shift = 2
+    e2 = td[:-shift, 0]
+    td2 = td[shift:].copy()
+    td2[:, 0] = e2
+    shifted, _ = data_io.select_window(td2, 0, 80.0, 180.0)
+    np.testing.assert_allclose(shifted, base + shift)
