@@ -93,11 +93,11 @@ class ForwardSpec:
     #     61 ms for the entire rest of the forward model).
     #   'exact' — per-sample spline evaluation (reference-literal path).
     xs_mode: str = "taylor"
-    # dtype of the one-hot/moment-channel MXU contraction.  bf16 halves the
-    # bandwidth and doubles MXU rate; the zeroth moment (counts) stays exact
-    # and the final weighted grid differs from f32 by <1e-5 relative (the
+    # dtype of the one-hot/moment-channel MXU contraction.  bf16 measured no
+    # faster than f32 here (the contraction is not bandwidth-bound); if used,
+    # the final weighted grid differs from f32 by <1e-5 relative (the
     # sigma*M0 term dominates) — far below Monte-Carlo noise.
-    moment_dtype: str = "bfloat16"
+    moment_dtype: str = "float32"
 
     def ed_centers(self) -> np.ndarray:
         return self.ed_binning.centers
