@@ -67,11 +67,16 @@ def integrated_autocorr_time(chain_1d, c: float = 5.0) -> float:
         x = x[:, None]
     s, w = x.shape
     x = x - x.mean(axis=0)
-    # FFT autocorrelation per walker
+    # FFT autocorrelation per walker; walkers with zero variance in the
+    # window (no accepted move) carry no autocorrelation information
     n = 1 << (2 * s - 1).bit_length()
     f = np.fft.rfft(x, n=n, axis=0)
     acf = np.fft.irfft(f * np.conj(f), n=n, axis=0)[:s].real
-    acf /= acf[0]
+    var = acf[0].copy()
+    moving = var > 0
+    if not moving.any():
+        return float(s)  # fully stuck: IAT at least the window length
+    acf = acf[:, moving] / var[moving]
     rho = acf.mean(axis=1)
     taus = 2.0 * np.cumsum(rho) - 1.0
     window = np.arange(len(taus)) < c * taus

@@ -116,3 +116,15 @@ def test_model_overlay_plot(tmp_path):
     model_overlay_plot(obs, mod, f)
     import os
     assert os.path.getsize(f) > 1000
+
+
+def test_autocorr_handles_stuck_walkers():
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((500, 4))
+    x[:, 2] = 1.234  # stuck walker: zero variance
+    from mcmctoffitting_tpu.utils.diagnostics import integrated_autocorr_time
+    tau = integrated_autocorr_time(x)
+    assert np.isfinite(tau) and 0.4 < tau < 2.0
+    # fully stuck ensemble -> window length
+    allstuck = np.ones((200, 3))
+    assert integrated_autocorr_time(allstuck) == 200.0
