@@ -73,7 +73,9 @@ def integrated_autocorr_time(chain_1d, c: float = 5.0) -> float:
     f = np.fft.rfft(x, n=n, axis=0)
     acf = np.fft.irfft(f * np.conj(f), n=n, axis=0)[:s].real
     var = acf[0].copy()
-    moving = var > 0
+    # relative threshold: FFT round-off leaves ~1e-29 "variance" on walkers
+    # that never moved in the window
+    moving = var > 1e-12 * max(var.max(), 1e-300)
     if not moving.any():
         return float(s)  # fully stuck: IAT at least the window length
     acf = acf[:, moving] / var[moving]
