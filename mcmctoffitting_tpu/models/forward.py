@@ -98,6 +98,9 @@ class ForwardSpec:
     # the final weighted grid differs from f32 by <1e-5 relative (the
     # sigma*M0 term dominates) — far below Monte-Carlo noise.
     moment_dtype: str = "float32"
+    # run the fused Pallas transport+moments kernel (ops/pallas_forward.py)
+    # instead of the XLA scan for the taylor/rk4 path; equal to 1e-7
+    use_pallas: bool = False
 
     def ed_centers(self) -> np.ndarray:
         return self.ed_binning.centers
@@ -145,7 +148,17 @@ def energy_weight_grid(spec: ForwardSpec, e_zeros):
     """
     eb = spec.ed_binning
 
-    if spec.xs_mode == "taylor" and hasattr(spec.xs, "eval_np"):
+    if (spec.xs_mode == "taylor" and hasattr(spec.xs, "eval_np")
+            and spec.use_pallas and spec.transport == "rk4"):
+        from ..ops.pallas_forward import fused_transport_moments
+        moments = fused_transport_moments(
+            e_zeros, spec.stopping, spec.x_binning.centers, eb.lo, eb.hi,
+            eb.n, n_substeps=spec.rk4_substeps,
+            n_blk=min(spec.histogram_chunk, 4096))       # (M, 4, Be)
+        taylor = _taylor_coeffs(spec)
+        grid = jnp.sum(moments * jnp.asarray(taylor, jnp.float32), axis=-2)
+        e_at_x = None
+    elif spec.xs_mode == "taylor" and hasattr(spec.xs, "eval_np"):
         n = e_zeros.shape[-1]
         chunk = min(spec.histogram_chunk, n)
         n_chunks = -(-n // chunk)
