@@ -68,7 +68,6 @@ def _fused_kernel(e0_ref, valid_ref, out_ref, *, spans, n_substeps, a_const,
         en = jnp.maximum(en, energy_floor)
         return -(a_const / en) * (p_const + q_const * jnp.log(en))
 
-    acc = out_ref[:]            # (M, 4, n_bins)
     for m, span in enumerate(spans):
         h = span / n_substeps
         for _ in range(n_substeps):
@@ -93,8 +92,8 @@ def _fused_kernel(e0_ref, valid_ref, out_ref, *, spans, n_substeps, a_const,
         contrib = jax.lax.dot_general(
             chans, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)         # (4, B)
-        acc = acc.at[0, m].add(contrib)
-    out_ref[:] = acc
+        # static-index ref accumulation (scatter-add is not lowerable)
+        out_ref[0, m, :, :] = out_ref[0, m, :, :] + contrib
 
 
 @functools.partial(jax.jit, static_argnames=(
