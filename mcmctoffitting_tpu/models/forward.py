@@ -36,8 +36,7 @@ import numpy as np
 
 from ..config import Binning, cell_attenuation_coeffs
 from ..constants import CellGeometry, TofWindow, masses
-from ..ops.histogram import (delta_moment_histogram, histogram_density,
-                             weighted_histogram)
+from ..ops.histogram import histogram_density, weighted_histogram
 from ..ops.kinematics import dd_neutron_energy_np, tof
 from ..ops.pdfs import beam_energy_rvs
 from ..ops.stopping import BetheStopping, StoppingTable, rk4_transport
