@@ -99,7 +99,7 @@ class ForwardSpec:
     moment_dtype: str = "float32"
     # run the fused Pallas transport+moments kernel (ops/pallas_forward.py)
     # instead of the XLA scan for the taylor/rk4 path.  Numerically equal to
-    # 1e-7; measured on v5e: 83 ms vs XLA's 43 ms per 32-walker batch (XLA's
+    # 1e-7; measured on v5e: 73 ms vs XLA's 40 ms per 32-walker batch (XLA's
     # automatic cross-chunk pipelining wins), so the XLA path is the default
     # and the kernel is kept as the explicitly-scheduled alternative.
     use_pallas: bool = False

@@ -86,15 +86,10 @@ class SimultFitProblem:
         return np.concatenate([PARAM_HI_SHARED,
                                np.full(self.n_runs, SCALE_HI)])
 
-    def initial_walkers(self, key, n_walkers: int) -> jax.Array:
-        """guesses + agitators * randn (tests/simultFit.py:679-684).
-
-        Per-run scale guess/agitator come from the observed totals in the
-        reference; here the caller folds those in via ``scale_guesses``.
-        """
-        raise NotImplementedError("use initial_walkers_from_observed")
-
     def initial_walkers_from_observed(self, key, n_walkers, observed):
+        """guesses + agitators * randn (tests/simultFit.py:679-684); per-run
+        scale guesses/agitators come from the observed totals, as in the
+        reference (tests/simultFit.py:543-546)."""
         scale_guesses = np.array([float(np.sum(o)) for o in observed])
         guesses = np.concatenate([GUESS_SHARED, scale_guesses])
         agitators = np.concatenate([AGITATORS_SHARED, 0.15 * scale_guesses])

@@ -68,7 +68,9 @@ def _fused_kernel(e0_ref, valid_ref, out_ref, *, spans, n_substeps, a_const,
         en = jnp.maximum(en, energy_floor)
         return -(a_const / en) * (p_const + q_const * jnp.log(en))
 
-    for m, span in enumerate(spans):
+    chans_rows = []
+    idx_rows = []
+    for span in spans:
         h = span / n_substeps
         for _ in range(n_substeps):
             stopped = e <= energy_floor
@@ -86,14 +88,18 @@ def _fused_kernel(e0_ref, valid_ref, out_ref, *, spans, n_substeps, a_const,
         delta = u - idx.astype(u.dtype) - 0.5
         base = jnp.where(in_range, valid, 0.0)
         d2 = delta * delta
-        chans = jnp.stack([base, base * delta, base * d2, base * d2 * delta],
-                          axis=0)                       # (4, n_blk)
-        onehot = (idx[:, None] == bins).astype(jnp.float32)  # (n_blk, B)
-        contrib = jax.lax.dot_general(
-            chans, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)         # (4, B)
-        # static-index ref accumulation (scatter-add is not lowerable)
-        out_ref[0, m, :, :] = out_ref[0, m, :, :] + contrib
+        chans_rows.append(jnp.stack(
+            [base, base * delta, base * d2, base * d2 * delta],
+            axis=0))                                     # (4, n_blk)
+        idx_rows.append(idx)
+    # one batched MXU contraction over all x-bins at once
+    chans = jnp.stack(chans_rows)                        # (M, 4, n_blk)
+    idx_all = jnp.stack(idx_rows)                        # (M, n_blk)
+    onehot = (idx_all[:, :, None] == bins[None]).astype(jnp.float32)
+    contrib = jax.lax.dot_general(
+        chans, onehot, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # (M, 4, B)
+    out_ref[0, :, :, :] = out_ref[0, :, :, :] + contrib
 
 
 @functools.partial(jax.jit, static_argnames=(
