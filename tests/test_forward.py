@@ -214,3 +214,23 @@ def test_multi_run_matches_per_run_loop():
                               get_pdf=True, scale=scales[r])
         np.testing.assert_allclose(np.asarray(multi[r]),
                                    np.asarray(single), rtol=2e-4, atol=1e-3)
+
+
+def test_multi_run_matches_per_run_loop_onebd():
+    """Same equivalence for the oneBD preset: table transport, attenuation,
+    expo 0-degree kernel, and Poisson backgrounds (key-split parity)."""
+    from mcmctoffitting_tpu.models.forward import (tof_spectra_multi,
+                                                   tof_spectrum)
+    prob = onebd.OneBDProblem(SPEC_1BD, n_runs=2)
+    scales = jnp.asarray([2e4, 3e4])
+    bgs = jnp.asarray([15.0, 25.0])
+    run_keys = [jax.random.fold_in(KEY, r) for r in range(2)]
+    multi = tof_spectra_multi(run_keys, THETA_1BD, SPEC_1BD, prob.standoffs,
+                              prob.windows, scales, bgs)
+    for r in range(2):
+        single = tof_spectrum(run_keys[r], THETA_1BD, SPEC_1BD,
+                              prob.standoffs[r], prob.windows[r],
+                              get_pdf=True, scale=scales[r],
+                              bg_level=bgs[r])
+        np.testing.assert_allclose(np.asarray(multi[r]),
+                                   np.asarray(single), rtol=2e-4, atol=1e-3)
