@@ -62,8 +62,10 @@ def default_spec(n_samples: int = 200_000, *,
         n_samples=n_samples,
         # the oneBD driver disabled the redraw loop (tests/csi_oneBD.py:440)
         n_redraw_rounds=0,
-        # see simult.default_spec: bound the batched one-hot block
-        histogram_chunk=4096,
+        # see simult.default_spec: bound the batched one-hot block; oneBD
+        # has 100 (default) / 400 (-hardcore) eD bins vs simult's 50, so the
+        # chunk is half/eighth to keep the same peak footprint
+        histogram_chunk=512 if hardcore else 2048,
     )
 
 
