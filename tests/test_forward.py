@@ -234,3 +234,32 @@ def test_multi_run_matches_per_run_loop_onebd():
                               bg_level=bgs[r])
         np.testing.assert_allclose(np.asarray(multi[r]),
                                    np.asarray(single), rtol=2e-4, atol=1e-3)
+
+
+def test_problem_likelihood_prefers_truth():
+    """NLL sanity scan at the problem level (SURVEY.md §4 item 4): theta at
+    the synthesis truth must beat clearly perturbed theta for both flagship
+    problems (averaged over keys to beat pseudo-marginal noise)."""
+    from mcmctoffitting_tpu.utils.data_io import synthesize_observed
+
+    for mod, truth, perturbed in (
+        (simult, [1878.4, 850.0, 170.0, 0.5, 5e4, 5e4],
+         [1860.0, 700.0, 250.0, 0.9, 3e4, 8e4]),
+        (onebd, [1300.0, 80.0, 0.6, 5e4, 5e4, 20.0, 20.0],
+         [1800.0, 300.0, 1.5, 2e4, 9e4, 200.0, 200.0]),
+    ):
+        if mod is simult:
+            prob = simult.SimultFitProblem(SPEC_SIM, n_runs=2)
+        else:
+            prob = onebd.OneBDProblem(SPEC_1BD, n_runs=2)
+        observed = synthesize_observed(jax.random.fold_in(KEY, 7), prob,
+                                       np.asarray(truth))
+        logp = prob.make_log_prob_fn(observed)
+
+        def avg(theta):
+            return np.mean([float(logp(jnp.asarray(theta, jnp.float32),
+                                       jax.random.fold_in(KEY, 100 + i)))
+                            for i in range(4)])
+
+        lt, lp = avg(truth), avg(perturbed)
+        assert lt > lp, (mod.__name__, lt, lp)
