@@ -115,6 +115,13 @@ class OneBDProblem:
         return jnp.clip(p0, jnp.asarray(self.param_lo) + 1e-3,
                         jnp.asarray(self.param_hi) - 1e-3)
 
+    def shared_params(self, theta) -> np.ndarray:
+        """(beamE, eLoss, scale, s) with the fixed reference beam energy
+        prepended (for PPC tooling)."""
+        theta = np.asarray(theta)
+        return np.concatenate([[onebd_consts.beam_reference_energy],
+                               theta[:3]])
+
     def run_spectrum(self, key, theta, run: int, *, get_pdf: bool = True):
         """Model spectrum for one run: fixed beam reference energy, per-run
         scale + Poisson background (tests/csi_oneBD.py:415-521)."""

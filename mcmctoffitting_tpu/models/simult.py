@@ -96,6 +96,10 @@ class SimultFitProblem:
         noise = jax.random.normal(key, (n_walkers, self.n_dim))
         return jnp.asarray(guesses) + jnp.asarray(agitators) * noise
 
+    def shared_params(self, theta) -> np.ndarray:
+        """(beamE, eLoss, scale, s) from a full theta (for PPC tooling)."""
+        return np.asarray(theta)[..., :4]
+
     def run_spectrum(self, key, theta, run: int, *, get_pdf: bool = True):
         """Model spectrum for one run (generateModelData equivalent)."""
         return tof_spectrum(key, theta[:4], self.spec, self.standoffs[run],

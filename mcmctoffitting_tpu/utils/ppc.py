@@ -109,14 +109,9 @@ class PPCSampler:
 
     def _shared4(self, theta):
         """(beamE, eLoss, scale, s) from a theta of either flagship model."""
-        theta = np.asarray(theta)
-        if hasattr(self.problem, "n_dim") and theta.shape[-1] == \
-                getattr(self.problem, "n_dim", None) and \
-                self.problem.__class__.__name__ == "OneBDProblem":
-            from ..constants import onebd_consts
-            return np.array([onebd_consts.beam_reference_energy,
-                             theta[0], theta[1], theta[2]])
-        return theta[:4]
+        if hasattr(self.problem, "shared_params"):
+            return self.problem.shared_params(theta)
+        return np.asarray(theta)[..., :4]
 
 
 def percentile_bands(stacked: np.ndarray,
