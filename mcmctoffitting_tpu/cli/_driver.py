@@ -1,0 +1,90 @@
+"""Shared plumbing for the fit CLIs: phase loop + resume fingerprints.
+
+The reference drivers duplicate their burn-in/main sampling loops
+(``tests/simultFit.py:733-786``, ``tests/csi_oneBD.py:869-939``); here both
+flagship CLIs share one loop that streams chain segments to the emcee-text
+file, checkpoints after each phase, and reports walker-steps/s.
+"""
+from __future__ import annotations
+
+import hashlib
+import time
+
+import numpy as np
+
+
+def posterior_fingerprint(problem, observed) -> np.ndarray:
+    """Digest identifying the posterior a checkpoint was sampled from.
+
+    Captures what a ``-resume`` mismatch would silently corrupt: the model
+    family and dimension, the Monte-Carlo draw count (the pseudo-marginal
+    likelihood's variance), and the observed histograms themselves.
+    Returned as a uint8 array so it rides the .npz checkpoint extras.
+    """
+    h = hashlib.sha256()
+    h.update(type(problem).__name__.encode())
+    h.update(np.int64(problem.n_dim).tobytes())
+    h.update(np.int64(problem.spec.n_samples).tobytes())
+    for o in observed:
+        h.update(np.ascontiguousarray(np.asarray(o, np.float64)).tobytes())
+    return np.frombuffer(h.digest(), np.uint8).copy()
+
+
+def load_resume_state(path, problem, observed, logp_batch):
+    """Load a checkpoint for -resume, re-evaluating log-probs if the
+    posterior fingerprint differs from this invocation's.
+
+    A checkpoint stores log-probs computed under a specific likelihood; if
+    the rebuilt one differs (different data / nDrawsPerEval / nRuns), the
+    stale values would bias acceptance until overwritten, so they are
+    recomputed at the restored positions instead.
+    """
+    import jax
+
+    from ..sampler import init_state
+    from ..utils import chain_io
+
+    state, extra = chain_io.load_checkpoint(path)
+    fp = posterior_fingerprint(problem, observed)
+    old = extra.get("posterior_fp")
+    if old is None or not np.array_equal(np.asarray(old, np.uint8), fp):
+        print("WARNING: checkpoint posterior fingerprint does not match "
+              "this invocation (different data, -nDrawsPerEval or run "
+              "count?); re-evaluating log-probs at the restored positions")
+        state = init_state(jax.random.fold_in(state.key, 0x5e5),
+                           state.positions, logp_batch)
+    return state
+
+
+def run_phases(state, phases, logp_batch, *, n_walkers: int, segment: int,
+               prefix: str, fingerprint=None):
+    """Drive the sampler through (name, chain_path, n_steps, truncate)
+    phases, streaming chain text per segment and checkpointing per phase.
+
+    Returns (final_state, total_steps, elapsed_s).
+    """
+    from ..sampler import run_mcmc
+    from ..utils import chain_io
+
+    extra = None if fingerprint is None else {"posterior_fp": fingerprint}
+    t0 = time.time()
+    total_steps = 0
+    for phase, path, n_steps, truncate in phases:
+        if truncate:
+            open(path, "w").close()
+        done = 0
+        while done < n_steps:
+            seg = min(segment, n_steps - done)
+            chain = run_mcmc(state, seg, logp_batch)
+            state = chain.state
+            chain_io.append_chain_text(path, np.asarray(chain.positions),
+                                       np.asarray(chain.log_probs))
+            done += seg
+            total_steps += seg
+            rate = total_steps * n_walkers / (time.time() - t0)
+            print(f"{phase}: step {done}/{n_steps} "
+                  f"({rate:.1f} walker-steps/s)", flush=True)
+        chain_io.save_checkpoint(
+            prefix + f"{phase.replace('-', '')}.ckpt.npz", state,
+            extra=extra)
+    return state, total_steps, time.time() - t0

@@ -12,15 +12,22 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 
 import numpy as np
 
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-run", choices=[0, 1, 2, 3], default=0, type=int,
+                   help="accepted for surface parity; vestigial in the "
+                        "reference (its window selection is immediately "
+                        "overwritten, tests/csi_oneBD.py:178-183)")
     p.add_argument("-inputDataFilename", default=None, type=str)
     p.add_argument("-debug", choices=[0, 1], default=0, type=int)
+    p.add_argument("-forceCustomPDF", choices=[0, 1], default=0, type=int,
+                   help="accepted for surface parity; this build always "
+                        "uses its own skew-normal (ops/pdfs.py), which IS "
+                        "the reference's custom pdf (utilities/pdfs.py)")
     p.add_argument("-quitEarly", choices=[0, 1], default=0, type=int)
     p.add_argument("-batch", choices=[0, 1], default=0, type=int)
     p.add_argument("-nDrawsPerEval", default=200_000, type=int)
@@ -39,18 +46,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-mesh", default=0, type=int)
     p.add_argument("-chunkWalkers", default=0, type=int)
     p.add_argument("-segment", default=10, type=int)
+    p.add_argument("-resume", default="", type=str,
+                   help="resume the MAIN phase from a .ckpt.npz checkpoint "
+                        "(skips burn-in; exact continuation incl. PRNG)")
+    p.add_argument("-deterministicBG", action="store_true",
+                   help="add the expected background level instead of a "
+                        "fresh Poisson draw per eval (statistically clean; "
+                        "default is the reference-faithful pseudo-marginal "
+                        "draw, tests/csi_oneBD.py:521)")
     return p
 
 
 def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
 
+    import dataclasses
+
     import jax
 
     from ..models import onebd
     from ..parallel import make_mesh, make_sharded_logp_batch
-    from ..sampler import init_state, make_logp_batch, run_mcmc
+    from ..sampler import init_state, make_logp_batch
     from ..utils import chain_io, data_io
+    from ._driver import load_resume_state, posterior_fingerprint, run_phases
 
     key = jax.random.PRNGKey(args.seed)
     n_draws = args.nDrawsPerEval
@@ -67,6 +85,8 @@ def main(argv=None) -> dict:
     main_steps = 10 if args.debug else args.nMainSteps
 
     spec = onebd.default_spec(n_samples=n_draws, hardcore=args.hardcore)
+    if args.deterministicBG:
+        spec = dataclasses.replace(spec, bg_mode="expected")
     problem = onebd.OneBDProblem(spec, n_runs=3)
 
     if args.inputDataFilename:
@@ -109,32 +129,22 @@ def main(argv=None) -> dict:
     else:
         logp_batch = make_logp_batch(logp, chunk=chunk)
 
-    p0 = problem.initial_walkers_from_observed(
-        jax.random.fold_in(key, 1), n_walkers, observed)
-    state = init_state(jax.random.fold_in(key, 2), p0, logp_batch)
-
     prefix = args.outputPrefix
-    t0 = time.time()
-    total_steps = 0
-    for phase, fname, n_steps in (
-            ("burn-in", "burninchain.dat", burnin_steps),
-            ("main", "mainchain.dat", main_steps)):
-        path = prefix + fname
-        open(path, "w").close()
-        done = 0
-        while done < n_steps:
-            seg = min(args.segment, n_steps - done)
-            chain = run_mcmc(state, seg, logp_batch)
-            state = chain.state
-            chain_io.append_chain_text(path, np.asarray(chain.positions),
-                                       np.asarray(chain.log_probs))
-            done += seg
-            total_steps += seg
-            rate = total_steps * n_walkers / (time.time() - t0)
-            print(f"{phase}: step {done}/{n_steps} "
-                  f"({rate:.1f} walker-steps/s)", flush=True)
-        chain_io.save_checkpoint(
-            prefix + f"{phase.replace('-', '')}.ckpt.npz", state)
+    fingerprint = posterior_fingerprint(problem, observed)
+    if args.resume:
+        state = load_resume_state(args.resume, problem, observed, logp_batch)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
+        phases = (("main", prefix + "mainchain.dat", main_steps, False),)
+    else:
+        p0 = problem.initial_walkers_from_observed(
+            jax.random.fold_in(key, 1), n_walkers, observed)
+        state = init_state(jax.random.fold_in(key, 2), p0, logp_batch)
+        phases = (("burn-in", prefix + "burninchain.dat", burnin_steps, True),
+                  ("main", prefix + "mainchain.dat", main_steps, True))
+
+    state, total_steps, elapsed = run_phases(
+        state, phases, logp_batch, n_walkers=n_walkers,
+        segment=args.segment, prefix=prefix, fingerprint=fingerprint)
 
     main_chain, _, n_params, _, _ = chain_io.read_chain_text(
         prefix + "mainchain.dat")
@@ -149,7 +159,6 @@ def main(argv=None) -> dict:
         print(f"  {name} = {med:.4g} +{hi:.3g} -{lo:.3g}")
         result[name] = [float(med), float(hi), float(lo)]
 
-    elapsed = time.time() - t0
     rate = total_steps * n_walkers / elapsed
     print(json.dumps({"walker_steps_per_sec": rate, "elapsed_s": elapsed}))
 

@@ -18,7 +18,10 @@ import numpy as np
 def main(argv=None) -> dict:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-chainFilename", required=True, type=str)
-    p.add_argument("-model", choices=["simult", "onebd"], default="simult")
+    p.add_argument("-model", choices=["simult", "onebd", "csi2016"],
+                   default="simult",
+                   help="csi2016 = ppcTools-era skewnorm-parameterized "
+                        "chains (theta = e0, sigma0, skew0, scaleFactor)")
     p.add_argument("-nRuns", default=4, type=int)
     p.add_argument("-nSamplesFromTOF", default=50_000, type=int,
                    help="MC draws per PPC forward eval")
@@ -36,7 +39,7 @@ def main(argv=None) -> dict:
 
     import jax
 
-    from ..models import onebd, simult
+    from ..models import csi2016, onebd, simult
     from ..utils import chain_io, data_io
     from ..utils.ppc import (PPCSampler, collapse_neutron_spectrum,
                              make_sdef_sia_cumulative, percentile_bands)
@@ -56,6 +59,9 @@ def main(argv=None) -> dict:
     if args.model == "simult":
         spec = simult.default_spec(n_samples=args.nSamplesFromTOF)
         problem = simult.SimultFitProblem(spec, n_runs=args.nRuns)
+    elif args.model == "csi2016":
+        spec = csi2016.default_spec(n_samples=args.nSamplesFromTOF)
+        problem = csi2016.Csi2016Problem(spec, n_runs=args.nRuns)
     else:
         spec = onebd.default_spec(n_samples=args.nSamplesFromTOF)
         problem = onebd.OneBDProblem(spec, n_runs=3)

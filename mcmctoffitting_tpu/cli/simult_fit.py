@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 
 import numpy as np
 
@@ -56,8 +55,9 @@ def main(argv=None) -> dict:
 
     from ..models import simult
     from ..parallel import make_mesh, make_sharded_logp_batch
-    from ..sampler import init_state, make_logp_batch, run_mcmc
+    from ..sampler import init_state, make_logp_batch
     from ..utils import chain_io, data_io
+    from ._driver import load_resume_state, posterior_fingerprint, run_phases
 
     key = jax.random.PRNGKey(args.seed)
     # debug shrinks the ensemble unless -nWalkers was given explicitly
@@ -102,36 +102,21 @@ def main(argv=None) -> dict:
     prefix = args.outputPrefix
     burnin_path = prefix + "burninchain.dat"
     main_path = prefix + "mainchain.dat"
+    fingerprint = posterior_fingerprint(problem, observed)
     if args.resume:
-        state, _ = chain_io.load_checkpoint(args.resume)
+        state = load_resume_state(args.resume, problem, observed, logp_batch)
         print(f"resumed from {args.resume} at step {int(state.step)}")
-        phases = (("main", main_path, main_steps),)
+        phases = (("main", main_path, main_steps, False),)
     else:
         p0 = problem.initial_walkers_from_observed(
             jax.random.fold_in(key, 1), n_walkers, observed)
         state = init_state(jax.random.fold_in(key, 2), p0, logp_batch)
-        phases = (("burn-in", burnin_path, burnin_steps),
-                  ("main", main_path, main_steps))
-    t0 = time.time()
-    total_steps = 0
+        phases = (("burn-in", burnin_path, burnin_steps, True),
+                  ("main", main_path, main_steps, True))
 
-    for phase, path, n_steps in phases:
-        if not (args.resume and phase == "main"):
-            open(path, "w").close()
-        done = 0
-        while done < n_steps:
-            seg = min(args.segment, n_steps - done)
-            chain = run_mcmc(state, seg, logp_batch)
-            state = chain.state
-            chain_io.append_chain_text(path, np.asarray(chain.positions),
-                                       np.asarray(chain.log_probs))
-            done += seg
-            total_steps += seg
-            rate = total_steps * n_walkers / (time.time() - t0)
-            print(f"{phase}: step {done}/{n_steps} "
-                  f"({rate:.1f} walker-steps/s)", flush=True)
-        chain_io.save_checkpoint(prefix + f"{phase.replace('-', '')}.ckpt.npz",
-                                 state)
+    state, total_steps, elapsed = run_phases(
+        state, phases, logp_batch, n_walkers=n_walkers,
+        segment=args.segment, prefix=prefix, fingerprint=fingerprint)
     # report quantiles over the main chain
     main_chain, _, n_params, _, _ = chain_io.read_chain_text(main_path)
     flat = main_chain.reshape(-1, n_params)
@@ -145,7 +130,6 @@ def main(argv=None) -> dict:
         print(f"  {name} = {med:.4g} +{hi:.3g} -{lo:.3g}")
         result[name] = [float(med), float(hi), float(lo)]
 
-    elapsed = time.time() - t0
     rate = total_steps * n_walkers / elapsed
     print(json.dumps({"walker_steps_per_sec": rate, "elapsed_s": elapsed}))
 

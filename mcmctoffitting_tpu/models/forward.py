@@ -38,7 +38,7 @@ from ..config import Binning, cell_attenuation_coeffs
 from ..constants import CellGeometry, TofWindow, masses
 from ..ops.histogram import histogram_density, weighted_histogram
 from ..ops.kinematics import dd_neutron_energy_np, tof
-from ..ops.pdfs import beam_energy_rvs
+from ..ops.pdfs import beam_energy_rvs, skewnorm_rvs
 from ..ops.stopping import BetheStopping, StoppingTable, rk4_transport
 from ..ops.timing import (ExGaussianTiming, ZeroDegreeTimingSpread,
                           apply_zero_degree_expo)
@@ -73,6 +73,13 @@ class ForwardSpec:
     # add the detector half-length to the neutron flight path (the v1-era
     # models; simultFit dropped it: tests/simultFit.py:290-292)
     add_half_zero_deg: bool = False
+    # initial-energy distribution family; see sample_beam_energies
+    beam_source: str = "lognorm"
+    # background model: 'poisson' draws fresh Poisson counts per eval
+    # (reference-faithful pseudo-marginal, tests/csi_oneBD.py:521);
+    # 'expected' adds the expectation bg_level itself — statistically clean
+    # (no pseudo-marginal stickiness; see RESULTS notes on the BG bias)
+    bg_mode: str = "poisson"
     n_samples: int = 200_000
     # round the normalized (x, eD) weight grid to integer draw counts like
     # the reference's rint(dataHist * nSamples) (tests/simultFit.py:283)
@@ -109,6 +116,39 @@ class ForwardSpec:
 
     def en_centers(self) -> np.ndarray:
         return dd_neutron_energy_np(self.ed_binning.centers)
+
+
+def sample_beam_energies(key, spec: ForwardSpec, params, n: int = 0):
+    """Step 1: initial deuteron-energy draws under ``spec.beam_source``.
+
+    * ``'lognorm'`` (simultFit/oneBD era): params = (beamE, eLoss, scale, s);
+      eZeros = beamE - lognorm(s, loc=eLoss, scale) with masked redraw
+      (``tests/simultFit.py:243-252``).
+    * ``'skewnorm'`` (ppcTools-era chains): params = (e0, sigma0, skew0, ..);
+      eZeros = skewnorm(a=skew0, loc=e0, scale=e0*sigma0), with the
+      reference's ValueError-fallback to a plain normal when the scale is
+      non-positive (``utilities/ppcTools.py:213-217``).
+    * ``'gaussian'`` (v2.5 era, ``tests/intermediateTOFmodel.py:128``):
+      params = (e0, sigma0, ..); eZeros = Normal(e0, e0*sigma0).
+
+    ``n`` overrides ``spec.n_samples`` (0 = use the spec's).
+    """
+    n = n or spec.n_samples
+    if spec.beam_source == "lognorm":
+        return beam_energy_rvs(key, n, params[0], params[1], params[2],
+                               params[3], spec.n_redraw_rounds)
+    if spec.beam_source == "skewnorm":
+        e0, sigma0, skew0 = params[0], params[1], params[2]
+        scale = e0 * sigma0
+        k0, k1 = jax.random.split(key)
+        safe = jnp.where(scale > 0, scale, 1.0)
+        sn = skewnorm_rvs(k0, (n,), a=skew0, loc=e0, scale=safe)
+        fallback = e0 + safe * jax.random.normal(k1, (n,))
+        return jnp.where(scale > 0, sn, fallback)
+    if spec.beam_source == "gaussian":
+        e0, sigma0 = params[0], params[1]
+        return e0 + e0 * sigma0 * jax.random.normal(key, (n,))
+    raise ValueError(f"unknown beam_source {spec.beam_source!r}")
 
 
 def _transport_all(spec: ForwardSpec, e_zeros):
@@ -262,10 +302,8 @@ def tof_spectrum(key, params, spec: ForwardSpec, standoff: float,
 
     Returns: (n_bins,) spectrum, or (spectrum, grid, eN_at_x) tuple.
     """
-    beam_e, e_loss, scale_ln, s = params[0], params[1], params[2], params[3]
     k_draw, k_bg = jax.random.split(key)
-    e_zeros = beam_energy_rvs(k_draw, spec.n_samples, beam_e, e_loss,
-                              scale_ln, s, spec.n_redraw_rounds)
+    e_zeros = sample_beam_energies(k_draw, spec, params)
     grid, _ = energy_weight_grid(spec, e_zeros)          # (M, Be)
 
     # normalize to a PDF over the (x, eD) area then convert to draw counts
@@ -300,8 +338,11 @@ def tof_spectrum(key, params, spec: ForwardSpec, standoff: float,
 
     out = scale * spec.beam_timing.apply_spreading(hist)
     if bg_level is not None:
-        out = out + jax.random.poisson(
-            k_bg, bg_level, (window.n_bins,)).astype(out.dtype)
+        if spec.bg_mode == "expected":
+            out = out + bg_level
+        else:
+            out = out + jax.random.poisson(
+                k_bg, bg_level, (window.n_bins,)).astype(out.dtype)
 
     if return_spectra:
         en_at_x = draws  # weight per (x, eD) cell == neutron yield spectrum
@@ -325,7 +366,6 @@ def tof_spectra_multi(run_keys, params, spec: ForwardSpec,
     Returns a tuple of R spectra.
     """
     n_runs = len(standoffs)
-    beam_e, e_loss, scale_ln, s = params[0], params[1], params[2], params[3]
 
     draw_keys = []
     bg_keys = []
@@ -333,9 +373,8 @@ def tof_spectra_multi(run_keys, params, spec: ForwardSpec,
         kd, kb = jax.random.split(run_keys[r])
         draw_keys.append(kd)
         bg_keys.append(kb)
-    e_zeros = jax.vmap(lambda k: beam_energy_rvs(
-        k, spec.n_samples, beam_e, e_loss, scale_ln, s,
-        spec.n_redraw_rounds))(jnp.stack(draw_keys))      # (R, N)
+    e_zeros = jax.vmap(lambda k: sample_beam_energies(
+        k, spec, params))(jnp.stack(draw_keys))           # (R, N)
 
     grids, _ = jax.vmap(lambda e: energy_weight_grid(spec, e))(e_zeros)
     area = spec.ed_binning.width * spec.x_binning.width
@@ -369,8 +408,11 @@ def tof_spectra_multi(run_keys, params, spec: ForwardSpec,
             hist = apply_zero_degree_expo(hist)
         spectrum = scales[r] * spec.beam_timing.apply_spreading(hist)
         if bg_levels is not None:
-            spectrum = spectrum + jax.random.poisson(
-                bg_keys[r], bg_levels[r], (win.n_bins,)).astype(
-                    spectrum.dtype)
+            if spec.bg_mode == "expected":
+                spectrum = spectrum + bg_levels[r]
+            else:
+                spectrum = spectrum + jax.random.poisson(
+                    bg_keys[r], bg_levels[r], (win.n_bins,)).astype(
+                        spectrum.dtype)
         out.append(spectrum)
     return tuple(out)

@@ -105,7 +105,11 @@ class OneBDProblem:
     def initial_walkers_from_observed(self, key, n_walkers, observed,
                                       guesses=(1300.0, 80.0, 0.6),
                                       bg_guess: float = 20.0):
-        norm_guesses = np.array([float(np.sum(o)) for o in observed])
+        # the model spectrum is scale * density-pdf (pdf sums to 1/binwidth
+        # = 1/4 for 4 ns bins), so the true per-run scale is ~4-5x the
+        # observed total; the reference seeds with 5*sum(observedTOF)
+        # (tests/csi_oneBD.py:741)
+        norm_guesses = np.array([5.0 * float(np.sum(o)) for o in observed])
         g = np.concatenate([np.asarray(guesses), norm_guesses,
                             np.full(self.n_runs, bg_guess)])
         agit = np.concatenate([[50.0, 10.0, 0.05], 0.15 * norm_guesses,
@@ -115,12 +119,14 @@ class OneBDProblem:
         return jnp.clip(p0, jnp.asarray(self.param_lo) + 1e-3,
                         jnp.asarray(self.param_hi) - 1e-3)
 
-    def shared_params(self, theta) -> np.ndarray:
+    def shared_params(self, theta):
         """(beamE, eLoss, scale, s) with the fixed reference beam energy
-        prepended (for PPC tooling)."""
-        theta = np.asarray(theta)
-        return np.concatenate([[onebd_consts.beam_reference_energy],
-                               theta[:3]])
+        prepended (for PPC tooling).  Traceable: works on concrete and
+        jit-traced thetas alike."""
+        theta = jnp.asarray(theta)
+        beam = jnp.asarray([onebd_consts.beam_reference_energy],
+                           theta.dtype)
+        return jnp.concatenate([beam, theta[:3]])
 
     def run_spectrum(self, key, theta, run: int, *, get_pdf: bool = True):
         """Model spectrum for one run: fixed beam reference energy, per-run

@@ -96,9 +96,10 @@ class SimultFitProblem:
         noise = jax.random.normal(key, (n_walkers, self.n_dim))
         return jnp.asarray(guesses) + jnp.asarray(agitators) * noise
 
-    def shared_params(self, theta) -> np.ndarray:
-        """(beamE, eLoss, scale, s) from a full theta (for PPC tooling)."""
-        return np.asarray(theta)[..., :4]
+    def shared_params(self, theta):
+        """(beamE, eLoss, scale, s) from a full theta (for PPC tooling).
+        Traceable: works on concrete and jit-traced thetas alike."""
+        return jnp.asarray(theta)[..., :4]
 
     def run_spectrum(self, key, theta, run: int, *, get_pdf: bool = True):
         """Model spectrum for one run (generateModelData equivalent)."""

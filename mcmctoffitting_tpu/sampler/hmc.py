@@ -39,32 +39,48 @@ class HMCChain:
     step_size: float
 
 
-def _leapfrog(logp_and_grad, q, p, grad, step_size, n_steps, inv_mass):
-    def body(carry, _):
+def _leapfrog(logp_and_grad, q, p, grad, step_size, n_steps_max, n_active,
+              inv_mass):
+    """Leapfrog with a traced active length: the scan runs a static
+    ``n_steps_max`` iterations but integration freezes after ``n_active``
+    (compiler-friendly stand-in for a dynamic trajectory length)."""
+    def body(carry, i):
         q, p, grad = carry
-        p = p + 0.5 * step_size * grad
-        q = q + step_size * (inv_mass * p)
-        _, grad = logp_and_grad(q)
-        p = p + 0.5 * step_size * grad
+        p1 = p + 0.5 * step_size * grad
+        q1 = q + step_size * (inv_mass * p1)
+        _, grad1 = logp_and_grad(q1)
+        p1 = p1 + 0.5 * step_size * grad1
+        live = i < n_active
+        q = jnp.where(live, q1, q)
+        p = jnp.where(live, p1, p)
+        grad = jnp.where(live, grad1, grad)
         return (q, p, grad), None
 
-    (q, p, grad), _ = jax.lax.scan(body, (q, p, grad), None, length=n_steps)
+    (q, p, grad), _ = jax.lax.scan(body, (q, p, grad),
+                                   jnp.arange(n_steps_max))
     return q, p, grad
 
 
 def hmc_sample(key, p0, n_steps: int, log_prob_fn: Callable, *,
                n_warmup: int = 200, n_leapfrog: int = 16,
-               init_step_size: float = 0.1, target_accept: float = 0.8):
+               init_step_size: float = 0.1, target_accept: float = 0.8,
+               jitter: float = 0.2):
     """Run C parallel HMC chains. p0: (C, D). Returns HMCChain.
 
     Warm-up adapts the step size by dual averaging; sampling keeps it fixed
     (mass matrix = identity; standardize parameters beforehand for the best
-    behavior).
+    behavior).  Each iteration integrates a trajectory of random length
+    drawn uniformly from ``[(1-jitter)*L, (1+jitter)*L]`` (Neal's jittered
+    trajectories — avoids the resonance pathologies NUTS solves with its
+    dynamic tree, while keeping a static-shape program).
     """
     p0 = jnp.asarray(p0, dtype=jnp.float32)
     n_chains, n_dim = p0.shape
     vlogp_grad = jax.vmap(jax.value_and_grad(log_prob_fn))
     inv_mass = jnp.ones(n_dim)
+
+    len_lo = max(1, int(round(n_leapfrog * (1.0 - jitter))))
+    len_hi = max(len_lo, int(round(n_leapfrog * (1.0 + jitter))))
 
     lp0, g0 = vlogp_grad(p0)
 
@@ -76,10 +92,11 @@ def hmc_sample(key, p0, n_steps: int, log_prob_fn: Callable, *,
 
     def one_step(state, step_size, step_key):
         q, lp, grad, _ = state
-        k_mom, k_acc = jax.random.split(step_key)
+        k_mom, k_acc, k_len = jax.random.split(step_key, 3)
         p = jax.random.normal(k_mom, q.shape)
+        n_active = jax.random.randint(k_len, (), len_lo, len_hi + 1)
         q_new, p_new, grad_new = _leapfrog(
-            vlogp_grad, q, p, grad, step_size, n_leapfrog, inv_mass)
+            vlogp_grad, q, p, grad, step_size, len_hi, n_active, inv_mass)
         lp_new, grad_new = vlogp_grad(q_new)
         h_old = lp - 0.5 * jnp.sum(p * p, axis=-1)
         h_new = lp_new - 0.5 * jnp.sum(p_new * p_new, axis=-1)

@@ -93,6 +93,10 @@ def init_state(key, p0, logp_batch) -> EnsembleState:
     """Evaluate initial log-probs and build a state. p0: (W, D)."""
     p0 = jnp.asarray(p0, dtype=jnp.float32)
     n_walkers = p0.shape[0]
+    if n_walkers % 2:
+        raise ValueError(
+            f"n_walkers must be even for the red-black stretch move, "
+            f"got {n_walkers}")
     key, k0 = jax.random.split(key)
     lp0 = logp_batch(p0, jax.random.split(k0, n_walkers))
     return EnsembleState(p0, lp0, key, jnp.asarray(0, jnp.int32))

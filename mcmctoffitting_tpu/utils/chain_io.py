@@ -35,12 +35,20 @@ def append_chain_text(path: str, positions: np.ndarray,
     lp = np.asarray(log_probs)
     if pos.ndim == 2:
         pos, lp = pos[None], lp[None]
-    buf = io.StringIO()
-    for s in range(pos.shape[0]):
-        for k in range(pos.shape[1]):
-            buf.write("{0} {1} {2}\n".format(k, pos[s, k], lp[s, k]))
+    text = None
+    try:
+        from .native import format_chain_text_native
+        text = format_chain_text_native(pos, lp)
+    except Exception:
+        pass
+    if text is None:
+        buf = io.StringIO()
+        for s in range(pos.shape[0]):
+            for k in range(pos.shape[1]):
+                buf.write("{0} {1} {2}\n".format(k, pos[s, k], lp[s, k]))
+        text = buf.getvalue()
     with open(path, mode) as f:
-        f.write(buf.getvalue())
+        f.write(text)
 
 
 def _parse_chain_text_py(text: str):
@@ -90,7 +98,9 @@ def read_chain_text(path: str):
     if parsed is None:
         parsed = _parse_chain_text_py(text)
     rows, probs, walker_ids = parsed
-    n_walkers = int(walker_ids.max()) + 1 if walker_ids.size else 0
+    if walker_ids.size == 0:
+        raise ValueError(f"empty or unparseable chain file: {path}")
+    n_walkers = int(walker_ids.max()) + 1
     n_steps = len(walker_ids) // n_walkers
     n_params = rows.shape[1]
     chain = rows[: n_steps * n_walkers].reshape(n_steps, n_walkers, n_params)

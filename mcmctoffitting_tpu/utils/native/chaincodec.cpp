@@ -24,8 +24,17 @@ struct ParseResult {
   int64_t n_params;
 };
 
-// Parse the full text buffer.  Returns 0 on success.
+void free_parse_result(ParseResult* r);
+
+// Parse the full text buffer.  Returns 0 on success.  On any error the
+// out-struct is left zeroed (no partially-initialized pointers for the
+// caller to free or misread).
 int parse_chain_text(const char* text, int64_t len, ParseResult* out) {
+  out->rows = nullptr;
+  out->probs = nullptr;
+  out->walkers = nullptr;
+  out->n_rows = 0;
+  out->n_params = 0;
   std::vector<double> rows;
   std::vector<double> probs;
   std::vector<int64_t> walkers;
@@ -79,8 +88,12 @@ int parse_chain_text(const char* text, int64_t len, ParseResult* out) {
   out->probs = (double*)malloc(probs.size() * sizeof(double));
   out->walkers = (int64_t*)malloc(walkers.size() * sizeof(int64_t));
   if ((!out->rows && !rows.empty()) || (!out->probs && !probs.empty()) ||
-      (!out->walkers && !walkers.empty()))
+      (!out->walkers && !walkers.empty())) {
+    free_parse_result(out);
+    out->n_rows = 0;
+    out->n_params = 0;
     return 6;
+  }
   memcpy(out->rows, rows.data(), rows.size() * sizeof(double));
   memcpy(out->probs, probs.data(), probs.size() * sizeof(double));
   memcpy(out->walkers, walkers.data(), walkers.size() * sizeof(int64_t));

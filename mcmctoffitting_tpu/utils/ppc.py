@@ -20,13 +20,12 @@ Provides:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-from ..ops.pdfs import lognorm_rvs
 
 
 @dataclasses.dataclass
@@ -75,43 +74,53 @@ class PPCSampler:
     def generate(self, key, n_draws: int = 500,
                  lnprob_cut: Optional[float] = None) -> PPCResult:
         """The reference ``generatePPC``: per draw, per run, generate a
-        model spectrum (+ the neutron-yield weight grid)."""
+        model spectrum (+ the neutron-yield weight grid).
+
+        One jit dispatch per run (and one for the weight grids), each a
+        ``lax.map`` over draws — the reference's 500-draw default
+        (``utilities/ppcTools.py:283``) costs 4-5 dispatches total instead
+        of draws x runs; lax.map (not vmap) keeps the peak footprint at one
+        draw's forward model."""
         thetas = self.draw_thetas(jax.random.fold_in(key, 0), n_draws,
                                   lnprob_cut)
-        per_run: list = [[] for _ in self.problem.windows]
-        grids = []
+        thetas_j = jnp.asarray(thetas, dtype=jnp.float32)
+        d_idx = jnp.arange(n_draws)
 
-        jitted = jax.jit(
-            lambda k, th, run: self.problem.run_spectrum(
-                k, th, run, get_pdf=True),
-            static_argnums=2)
+        @functools.partial(jax.jit, static_argnums=0)
+        def run_spectra(run):
+            def one(args):
+                d, theta = args
+                k_d = jax.random.fold_in(key, 1 + d)
+                return self.problem.run_spectrum(
+                    jax.random.fold_in(k_d, run), theta, run, get_pdf=True)
+            return jax.lax.map(one, (d_idx, thetas_j))
 
-        for d, theta in enumerate(jnp.asarray(thetas, dtype=jnp.float32)):
-            k_d = jax.random.fold_in(key, 1 + d)
-            for run in range(len(self.problem.windows)):
-                spec = jitted(jax.random.fold_in(k_d, run), theta, run)
-                per_run[run].append(np.asarray(spec))
-            grids.append(self._weight_grid(k_d, theta))
-        return PPCResult([np.stack(s) for s in per_run], np.stack(grids),
-                         thetas)
+        per_run = [np.asarray(run_spectra(run))
+                   for run in range(len(self.problem.windows))]
+        grids = np.asarray(self._weight_grids(key, d_idx, thetas_j))
+        return PPCResult(per_run, grids, thetas)
 
-    def _weight_grid(self, key, theta):
-        """Neutron-yield (x, eD) grid for one draw (the eN/eD spectra the
+    @functools.partial(jax.jit, static_argnums=0)
+    def _weight_grids(self, key, d_idx, thetas):
+        """Neutron-yield (x, eD) grids, one per draw (the eN/eD spectra the
         reference accumulates alongside, ``utilities/ppcTools.py:164-187``)."""
-        from ..models.forward import energy_weight_grid
-        from ..ops.pdfs import beam_energy_rvs
+        from ..models.forward import energy_weight_grid, sample_beam_energies
         spec = self.problem.spec
-        p4 = self._shared4(theta)
-        ez = beam_energy_rvs(key, spec.n_samples, p4[0], p4[1], p4[2], p4[3],
-                             spec.n_redraw_rounds)
-        grid, _ = jax.jit(lambda e: energy_weight_grid(spec, e))(ez)
-        return np.asarray(grid)
+
+        def one(args):
+            d, theta = args
+            k_d = jax.random.fold_in(key, 1 + d)
+            ez = sample_beam_energies(k_d, spec, self._shared4(theta))
+            grid, _ = energy_weight_grid(spec, ez)
+            return grid
+
+        return jax.lax.map(one, (d_idx, thetas))
 
     def _shared4(self, theta):
         """(beamE, eLoss, scale, s) from a theta of either flagship model."""
         if hasattr(self.problem, "shared_params"):
             return self.problem.shared_params(theta)
-        return np.asarray(theta)[..., :4]
+        return jnp.asarray(theta)[..., :4]
 
 
 def percentile_bands(stacked: np.ndarray,
@@ -127,14 +136,15 @@ def sample_initial_energy_dist(key, sampler: PPCSampler, *,
                                normed: bool = False) -> np.ndarray:
     """Posterior samples of the initial deuteron-energy distribution
     (``utilities/ppcTools.py:334-354``).  Returns (n_samples, eD_bins)."""
+    from ..models.forward import sample_beam_energies
     spec = sampler.problem.spec
     eb = spec.ed_binning
     thetas = sampler.draw_thetas(jax.random.fold_in(key, 0), n_samples)
     out = np.zeros((n_samples, eb.n))
     for i, theta in enumerate(thetas):
-        p4 = sampler._shared4(theta)
+        p4 = sampler._shared4(jnp.asarray(theta, jnp.float32))
         k = jax.random.fold_in(key, 1 + i)
-        e = p4[0] - lognorm_rvs(k, p4[3], p4[1], p4[2], (n_draws_per,))
+        e = sample_beam_energies(k, spec, p4, n=n_draws_per)
         hist, _ = np.histogram(np.asarray(e), eb.n, (eb.lo, eb.hi),
                                density=normed)
         out[i] = hist * (eb.width if normed else 1.0)

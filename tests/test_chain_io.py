@@ -60,6 +60,35 @@ def test_native_codec_matches_python():
     np.testing.assert_array_equal(wk_n, wk_p)
 
 
+def test_empty_chain_file_raises(tmp_path):
+    """Empty/truncated chain files must fail with a clear error, not a
+    ZeroDivisionError (advisor finding, round 1)."""
+    path = tmp_path / "empty.dat"
+    path.write_text("")
+    with pytest.raises(ValueError, match="empty or unparseable"):
+        chain_io.read_chain_text(str(path))
+    path.write_text("\n  \n")
+    with pytest.raises(ValueError, match="empty or unparseable"):
+        chain_io.read_chain_text(str(path))
+
+
+def test_append_uses_native_formatter(tmp_path):
+    """append_chain_text routes through the C++ formatter when available
+    and stays parseable either way."""
+    from mcmctoffitting_tpu.utils import native
+    rng = np.random.default_rng(4)
+    pos = rng.normal(size=(3, 4, 7))
+    lp = rng.normal(size=(3, 4))
+    path = tmp_path / "chain.dat"
+    chain_io.append_chain_text(str(path), pos, lp, mode="w")
+    text = path.read_text()
+    # the native formatter's fixed-precision style, not numpy's repr
+    assert text == native.format_chain_text_native(pos, lp)
+    chain, probs, *_ = chain_io.read_chain_text(str(path))
+    np.testing.assert_allclose(chain, pos, rtol=1e-6)
+    np.testing.assert_allclose(probs, lp, rtol=1e-6)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax
     import jax.numpy as jnp

@@ -25,12 +25,22 @@ def test_csi_onebd_parser_surface():
     a = p.parse_args(["-qnd", "-hardcore", "-shiftTOF", "2",
                       "-nWalkers", "128"])
     assert a.qnd and a.hardcore and a.shiftTOF == 2 and a.nWalkers == 128
-    # all reference flags present (tests/csi_oneBD.py:58-76)
-    for flag in ("-inputDataFilename", "-debug", "-quitEarly", "-batch",
-                 "-nDrawsPerEval", "-nBurninSteps", "-nMainSteps",
-                 "-outputPrefix", "-nWalkers", "-quickish"):
+    # all reference flags present (tests/csi_oneBD.py:58-76); -mpi/-nThreads
+    # are replaced by device-mesh sharding (-mesh) by design
+    for flag in ("-run", "-inputDataFilename", "-debug", "-quitEarly",
+                 "-batch", "-forceCustomPDF", "-nDrawsPerEval",
+                 "-nBurninSteps", "-nMainSteps", "-outputPrefix",
+                 "-nWalkers", "-qnd", "-quickish", "-hardcore", "-shiftTOF"):
         assert any(flag in str(act.option_strings) for act in p._actions), \
             f"missing reference flag {flag}"
+    # rebuild-added flags
+    for flag in ("-resume", "-deterministicBG"):
+        assert any(flag in str(act.option_strings) for act in p._actions), \
+            f"missing flag {flag}"
+    a2 = p.parse_args(["-run", "2", "-forceCustomPDF", "1",
+                       "-deterministicBG", "-resume", "x.ckpt.npz"])
+    assert a2.run == 2 and a2.forceCustomPDF == 1
+    assert a2.deterministicBG and a2.resume == "x.ckpt.npz"
 
 
 def test_simple_tof_model_configs():
