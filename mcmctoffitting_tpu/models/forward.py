@@ -36,7 +36,8 @@ import numpy as np
 
 from ..config import Binning, cell_attenuation_coeffs
 from ..constants import CellGeometry, TofWindow, masses
-from ..ops.histogram import histogram_density, weighted_histogram
+from ..ops.histogram import (histogram_density, weighted_histogram,
+                             weighted_histogram_multi_window)
 from ..ops.kinematics import dd_neutron_energy_np, tof
 from ..ops.pdfs import beam_energy_rvs, skewnorm_rvs
 from ..ops.stopping import BetheStopping, StoppingTable, rk4_transport
@@ -384,29 +385,41 @@ def tof_spectra_multi(run_keys, params, spec: ForwardSpec,
         draws = jnp.rint(draws)
     e0_means = jnp.mean(e_zeros, axis=-1)                 # (R,)
 
+    # --- batched TOF stage: all runs share one histogram/convolution
+    # program (windows differ per run; see weighted_histogram_multi_window)
+    base_tof = jax.vmap(lambda so, e0m: cell_tof_lattice(spec, so, e0m))(
+        jnp.asarray(standoffs, jnp.float32), e0_means)    # (R, M, Be)
     if spec.zero_degree == "segments":
         zd = ZeroDegreeTimingSpread(length=spec.geometry.zero_deg_length)
         zt, zw = zd.times_and_weights(
             jnp.asarray(spec.en_centers(), dtype=jnp.float32))  # (Be, K)
+        values = base_tof[..., None] + zt                 # (R, M, Be, K)
+        weights = draws[..., None] * zw
+    else:
+        values = base_tof
+        weights = draws
+
+    hist = weighted_histogram_multi_window(
+        values.reshape(n_runs, -1), windows, weights.reshape(n_runs, -1),
+        chunk=spec.histogram_chunk)                       # (R, n_pad)
+    if get_pdf:
+        bin_widths = np.asarray([(w.hi - w.lo) / w.n_bins for w in windows],
+                                np.float32)[:, None]
+        hist = hist / (jnp.sum(hist, axis=-1, keepdims=True) * bin_widths)
+    if spec.zero_degree == "expo":
+        hist = jax.vmap(apply_zero_degree_expo)(hist)
+        # the expo tail bleeds into padding bins; re-zero them so the
+        # 'same'-mode beam-timing conv sees the unpadded boundary
+        n_pad = hist.shape[-1]
+        pad_mask = np.asarray([[j < w.n_bins for j in range(n_pad)]
+                               for w in windows], np.float32)
+        hist = hist * pad_mask
+    hist = jax.vmap(spec.beam_timing.apply_spreading)(hist)
 
     out = []
     for r in range(n_runs):
-        base_tof = cell_tof_lattice(spec, standoffs[r], e0_means[r])
-        if spec.zero_degree == "segments":
-            values = base_tof[:, :, None] + zt[None, :, :]
-            weights = draws[r][:, :, None] * zw[None, :, :]
-        else:
-            values = base_tof
-            weights = draws[r]
         win = windows[r]
-        hist = weighted_histogram(values.reshape(-1), win.lo, win.hi,
-                                  win.n_bins, weights.reshape(-1),
-                                  chunk=spec.histogram_chunk)
-        if get_pdf:
-            hist = histogram_density(hist, win.lo, win.hi)
-        if spec.zero_degree == "expo":
-            hist = apply_zero_degree_expo(hist)
-        spectrum = scales[r] * spec.beam_timing.apply_spreading(hist)
+        spectrum = scales[r] * hist[r, : win.n_bins]
         if bg_levels is not None:
             if spec.bg_mode == "expected":
                 spectrum = spectrum + bg_levels[r]

@@ -17,6 +17,44 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _scan_onehot(idx, w, n_bins: int, chunk: int):
+    """Chunked one-hot contraction: (..., N) indices + weights ->
+    (..., n_bins) histogram.  Shared engine of the histogram ops."""
+    n = idx.shape[-1]
+    chunk = min(chunk, n)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    if pad:
+        idx = jnp.concatenate(
+            [idx, jnp.zeros(idx.shape[:-1] + (pad,), idx.dtype)], axis=-1)
+        w = jnp.concatenate(
+            [w, jnp.zeros(w.shape[:-1] + (pad,), w.dtype)], axis=-1)
+    # (..., K, chunk) -> scan over K accumulating (..., n_bins)
+    idx_c = jnp.moveaxis(
+        idx.reshape(idx.shape[:-1] + (n_chunks, chunk)), -2, 0)
+    w_c = jnp.moveaxis(w.reshape(w.shape[:-1] + (n_chunks, chunk)), -2, 0)
+
+    bins = jnp.arange(n_bins, dtype=jnp.int32)
+
+    def body(acc, inputs):
+        i_blk, w_blk = inputs  # (..., chunk)
+        onehot = (i_blk[..., None] == bins).astype(w_blk.dtype)
+        # (..., chunk) x (..., chunk, n_bins) -> (..., n_bins) on the MXU
+        acc = acc + jax.lax.dot_general(
+            w_blk[..., None, :], onehot,
+            dimension_numbers=(((w_blk.ndim,), (onehot.ndim - 2,)),
+                               (tuple(range(w_blk.ndim - 1)),
+                                tuple(range(onehot.ndim - 2)))),
+            preferred_element_type=jnp.float32,
+        )[..., 0, :]
+        return acc, None
+
+    acc0 = jnp.zeros(idx.shape[:-1] + (n_bins,), jnp.float32)
+    out, _ = jax.lax.scan(body, acc0, (idx_c, w_c))
+    return out
 
 
 def bin_index(values, lo: float, hi: float, n_bins: int):
@@ -60,38 +98,39 @@ def weighted_histogram(values, lo: float, hi: float, n_bins: int,
         )(idx2, w2)
         return out.reshape(v.shape[:-1] + (n_bins,))
 
-    n = v.shape[-1]
-    chunk = min(chunk, n)
-    n_chunks = -(-n // chunk)
-    pad = n_chunks * chunk - n
-    if pad:
-        idx = jnp.concatenate(
-            [idx, jnp.zeros(idx.shape[:-1] + (pad,), idx.dtype)], axis=-1)
-        w = jnp.concatenate(
-            [w, jnp.zeros(w.shape[:-1] + (pad,), w.dtype)], axis=-1)
-    # (..., K, chunk) -> scan over K accumulating (..., n_bins)
-    idx_c = jnp.moveaxis(
-        idx.reshape(idx.shape[:-1] + (n_chunks, chunk)), -2, 0)
-    w_c = jnp.moveaxis(w.reshape(w.shape[:-1] + (n_chunks, chunk)), -2, 0)
+    return _scan_onehot(idx, w, n_bins, chunk)
 
-    bins = jnp.arange(n_bins, dtype=jnp.int32)
 
-    def body(acc, inputs):
-        i_blk, w_blk = inputs  # (..., chunk)
-        onehot = (i_blk[..., None] == bins).astype(w_blk.dtype)
-        # (..., chunk) x (..., chunk, n_bins) -> (..., n_bins) on the MXU
-        acc = acc + jax.lax.dot_general(
-            w_blk[..., None, :], onehot,
-            dimension_numbers=(((w_blk.ndim,), (onehot.ndim - 2,)),
-                               (tuple(range(w_blk.ndim - 1)),
-                                tuple(range(onehot.ndim - 2)))),
-            preferred_element_type=jnp.float32,
-        )[..., 0, :]
-        return acc, None
+def weighted_histogram_multi_window(values, windows, weights, *,
+                                    chunk: int = 8192):
+    """Per-window histograms over heterogeneous STATIC windows in one pass.
 
-    acc0 = jnp.zeros(v.shape[:-1] + (n_bins,), jnp.float32)
-    out, _ = jax.lax.scan(body, acc0, (idx_c, w_c))
-    return out
+    The joint fits bin each run against its own TOF window (different
+    ranges and bin counts, ``constants/constants.py:97-124``); looping runs
+    serializes R small histogram programs.  Here every row of ``values``
+    (R, N) is binned against its own window inside ONE shared one-hot block
+    padded to max(n_bins): per-row lo/scale shift the indices, per-row
+    hi-edge handling matches np.histogram (value == hi -> last true bin),
+    and padding bins stay exactly zero.
+
+    Returns (R, max_bins) float32; slice row r to ``windows[r].n_bins``.
+    """
+    n_pad = max(w.n_bins for w in windows)
+    los = np.asarray([w.lo for w in windows], np.float32)[:, None]
+    his = np.asarray([w.hi for w in windows], np.float32)[:, None]
+    scale = np.asarray([w.n_bins / (w.hi - w.lo) for w in windows],
+                       np.float32)[:, None]
+    nb1 = np.asarray([w.n_bins - 1 for w in windows], np.int32)[:, None]
+
+    v = jnp.asarray(values)
+    w_ = jnp.asarray(weights, jnp.float32)
+    w_ = jnp.broadcast_to(w_, v.shape)
+    scaled = (v - los) * scale
+    idx = jnp.clip(jnp.floor(scaled).astype(jnp.int32), 0, n_pad - 1)
+    idx = jnp.minimum(idx, nb1)
+    in_range = (v >= los) & (v <= his)
+    w_ = jnp.where(in_range, w_, 0.0)
+    return _scan_onehot(idx, w_, n_pad, chunk)
 
 
 def delta_moment_histogram(values, lo: float, hi: float, n_bins: int,

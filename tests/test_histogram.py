@@ -107,3 +107,29 @@ def test_delta_moment_zeroth_equals_counts():
     got = np.asarray(delta_moment_histogram(v, 0.0, 1.0, 25))
     want, _ = np.histogram(v[0], 25, (0.0, 1.0))
     np.testing.assert_array_equal(got[0, 0], want.astype(np.float32))
+
+
+def test_multi_window_matches_per_run_np_histogram():
+    """Heterogeneous static windows binned in one one-hot pass must match
+    np.histogram run-by-run (incl. the value == hi last-bin rule)."""
+    from mcmctoffitting_tpu.constants import TofWindow
+    from mcmctoffitting_tpu.ops.histogram import (
+        weighted_histogram_multi_window)
+    windows = (TofWindow(130.0, 175.0, 45), TofWindow(175.0, 225.0, 50),
+               TofWindow(190.0, 260.0, 70), TofWindow(195.0, 260.0, 65))
+    rng = np.random.default_rng(10)
+    v = rng.uniform(100.0, 280.0, (4, 777)).astype(np.float32)
+    # plant exact hi-edge and out-of-range values
+    v[:, 0] = [w.hi for w in windows]
+    v[:, 1] = [w.lo for w in windows]
+    v[:, 2] = [w.hi + 1.0 for w in windows]
+    w_ = rng.uniform(0.0, 5.0, (4, 777)).astype(np.float32)
+    got = np.asarray(weighted_histogram_multi_window(v, windows, w_,
+                                                     chunk=128))
+    assert got.shape == (4, 70)
+    for r, win in enumerate(windows):
+        want, _ = np.histogram(v[r], win.n_bins, (win.lo, win.hi),
+                               weights=w_[r])
+        np.testing.assert_allclose(got[r, : win.n_bins], want, rtol=1e-5,
+                                   atol=1e-4)
+        np.testing.assert_array_equal(got[r, win.n_bins:], 0.0)
