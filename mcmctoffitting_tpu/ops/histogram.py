@@ -22,7 +22,14 @@ import numpy as np
 
 def _scan_onehot(idx, w, n_bins: int, chunk: int):
     """Chunked one-hot contraction: (..., N) indices + weights ->
-    (..., n_bins) histogram.  Shared engine of the histogram ops."""
+    (..., n_bins) histogram.  Shared engine of the histogram ops.
+
+    Precision note: the dot runs at DEFAULT matmul precision (bf16 inputs,
+    f32 accumulation on TPU).  One-hot entries are exact in bf16; only the
+    weights are rounded (~0.4% relative), far below the Monte-Carlo noise
+    of the sampled spectra, and 'highest' would multiply MXU passes ~6x.
+    Deterministic keV-scale lookups must NOT use this path (see
+    StoppingTable.eval_stopped, which pins precision='highest')."""
     n = idx.shape[-1]
     chunk = min(chunk, n)
     n_chunks = -(-n // chunk)

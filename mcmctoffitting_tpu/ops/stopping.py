@@ -190,11 +190,18 @@ class StoppingTable:
         coeffs = cubic_spline_coeffs(e0_grid, table)  # (4, G-1, M)
         return cls(e0_grid, x_centers, table.T.copy().T, coeffs)
 
-    def eval_stopped(self, e_zero):
+    def eval_stopped(self, e_zero, method: str = "onehot"):
         """E at every x column for each sample: (N,) -> (N, M).
 
         Mirrors ``betheApprox.evalStopped`` (``utilities/ionStopping.py:132``)
         but batched over all samples in one shot.
+
+        method='onehot' (default): the per-sample spline-coefficient lookup
+        is a one-hot MXU matmul against the (segments, 4*M) coefficient
+        matrix — gathers serialize badly on TPU (measured ~100x the rest of
+        the forward model in round 1), and with exactly one nonzero per
+        one-hot row the matmul is bit-identical to the gather.
+        method='gather': the direct lookup (CPU/debug path).
         """
         e = jnp.asarray(e_zero)
         c = jnp.asarray(self.coeffs, dtype=e.dtype)  # (4, G-1, M)
@@ -202,10 +209,25 @@ class StoppingTable:
         # no searchsorted (binary-search gathers are slow on TPU)
         lo = float(self.e0_grid[0])
         step = float(self.e0_grid[1] - self.e0_grid[0])
-        idx = jnp.clip(((e - lo) / step).astype(jnp.int32),
-                       0, self.e0_grid.shape[0] - 2)
+        n_seg = self.e0_grid.shape[0] - 1
+        idx = jnp.clip(((e - lo) / step).astype(jnp.int32), 0, n_seg - 1)
         dt = (e - (lo + step * idx.astype(e.dtype)))[..., None]  # (N, 1)
-        c3, c2, c1, c0 = c[0][idx], c[1][idx], c[2][idx], c[3][idx]  # (N, M)
+        if method == "onehot":
+            onehot = (idx[..., None]
+                      == jnp.arange(n_seg, dtype=jnp.int32)).astype(e.dtype)
+            m = self.x_centers.shape[0]
+            # (N, G-1) @ (G-1, 4*M) -> (N, 4, M)
+            cmat = jnp.moveaxis(c, 0, 1).reshape(n_seg, 4 * m)
+            # precision='highest': the default TPU matmul precision is bf16,
+            # which would round the keV-scale constant coefficients (~8 keV
+            # error); at full f32 the single-nonzero rows make this
+            # bit-identical to the gather
+            c3, c2, c1, c0 = jnp.moveaxis(
+                jnp.dot(onehot, cmat, precision="highest",
+                        preferred_element_type=jnp.float32).reshape(
+                            e.shape + (4, m)), -2, 0)
+        else:
+            c3, c2, c1, c0 = c[0][idx], c[1][idx], c[2][idx], c[3][idx]
         return ((c3 * dt + c2) * dt + c1) * dt + c0
 
     def __hash__(self):
