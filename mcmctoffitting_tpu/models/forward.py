@@ -85,7 +85,10 @@ class ForwardSpec:
     # round the normalized (x, eD) weight grid to integer draw counts like
     # the reference's rint(dataHist * nSamples) (tests/simultFit.py:283)
     rint_draws: bool = True
-    n_redraw_rounds: int = 8
+    # -1 = exact truncated redraw (statistically identical to the
+    # reference's redraw-until-positive loop; see ops/pdfs.beam_energy_rvs);
+    # >= 0 = fixed-budget masked redraw rounds
+    n_redraw_rounds: int = -1
     histogram_chunk: int = 16384
     # cross-section weighting strategy:
     #   'taylor' — gather-free Taylor-moment weighting (TPU fast path):

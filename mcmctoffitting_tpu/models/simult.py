@@ -14,10 +14,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
 from ..config import SIMULTFIT_ED_BINNING, SIMULTFIT_X_BINNING
 from ..constants import TUNL_SSA_CSI, TofWindow, tof_windows
 from ..ops.likelihoods import box_lnprior, poisson_binned_loglike
-from ..ops.stopping import d2_gas_stopping
+from ..ops.stopping import StoppingTable, d2_gas_stopping
 from ..ops.timing import ExGaussianTiming
 from .forward import ForwardSpec, tof_spectra_multi, tof_spectrum
 
@@ -34,14 +36,44 @@ GUESS_SHARED = np.array([1878.4, 850.0, 170.0, 0.5])
 AGITATORS_SHARED = np.array([10.0, 50.0, 20.0, 0.1])
 
 
-def default_spec(n_samples: int = 200_000) -> ForwardSpec:
-    """Forward spec for the simultFit campaign (ODE/RK4 transport path)."""
+# simult's own betheApprox-style grid: wider and finer than oneBD's
+# (100, 2400, 100) so the whole physical beam range incl. the low-energy
+# lognorm tail interpolates (never extrapolates).  10 keV rows keep the
+# spline within 2e-3 keV of the ODE over the histogram range (E >= 200 keV)
+# and within ~1.3 keV even in the near-stopping region below it.
+SIMULT_TABLE_BINNING = (20.0, 2420.0, 10.0)
+
+
+@functools.lru_cache(maxsize=4)
+def _build_table(rho: float) -> StoppingTable:
+    # energy_floor matches rk4_transport's guard so table == ODE everywhere
+    return StoppingTable.build(d2_gas_stopping(rho=rho),
+                               SIMULT_TABLE_BINNING,
+                               SIMULTFIT_X_BINNING.centers,
+                               energy_floor=20.0)
+
+
+def default_spec(n_samples: int = 200_000, *,
+                 transport: str = "table") -> ForwardSpec:
+    """Forward spec for the simultFit campaign.
+
+    transport='table' (default): precomputed E(E0, x) spline table — the
+    reference developed exactly this surrogate for its ODE transport
+    (``betheApprox``, validated in ``tests/testStoppingApproximation.py``)
+    and adopted it for oneBD; here it matches the RK4/dopri5 path to
+    < 2e-3 keV over the physical beam range (test_stopping.py) while
+    skipping ~40 transcendental dE/dx evals per sample.
+    transport='rk4': the literal ODE path (``tests/simultFit.py:256-258``).
+    """
+    rho = 8.565e-5
     return ForwardSpec(
         geometry=TUNL_SSA_CSI,
         ed_binning=SIMULTFIT_ED_BINNING,
         x_binning=SIMULTFIT_X_BINNING,
-        stopping=d2_gas_stopping(rho=8.565e-5),
-        transport="rk4",
+        stopping=d2_gas_stopping(rho=rho),
+        transport=transport,
+        stopping_table=(_build_table(rho) if transport == "table"
+                        else None),
         # 1 substep matches dopri5 to ~1e-3 keV over this x grid (below any
         # physical relevance; 2 is the f32 floor); see test_stopping.py
         rk4_substeps=1,

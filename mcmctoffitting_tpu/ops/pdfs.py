@@ -57,17 +57,48 @@ def skewnorm_rvs(key, shape=(), a=0.0, loc=0.0, scale=1.0):
 
 
 def beam_energy_rvs(key, n: int, beam_e, e_loss, scale, s,
-                    n_redraw_rounds: int = 8):
+                    n_redraw_rounds: int = -1):
     """Initial deuteron energies: beamE - lognorm(s, loc=e_loss, scale).
 
-    Fixed-budget masked redraw of non-positive samples (see module note;
-    reference loop at ``tests/simultFit.py:243-252``).
+    The reference redraws non-positive samples until none remain
+    (``tests/simultFit.py:243-252``) — i.e. it rejection-samples the
+    lognorm TRUNCATED at beamE.  Two jit-friendly equivalents:
+
+    * ``n_redraw_rounds = -1`` (default): **exact truncation** — replace
+      each non-positive sample with an inverse-CDF draw from the truncated
+      distribution (z <= z_max = ln((beamE - eLoss)/scale)/s).  This is
+      statistically identical to the reference's infinite-redraw loop
+      (rejection == truncation) at the cost of ONE extra uniform+ndtri
+      pass, instead of several full redraw rounds of erfinv work.
+    * ``n_redraw_rounds >= 0``: fixed-budget masked redraw (the round-1
+      scheme; 0 rounds reproduces the oneBD driver that simply disabled
+      the loop, ``tests/csi_oneBD.py:440-447``).
+
+    Degenerate parameters (beamE <= eLoss, or scale <= 0) have no positive
+    support to redraw toward — the reference would spin forever
+    (``while nanCount > 0``); here such samples keep their first draw and
+    fall to the histogram range mask / NaN->-inf likelihood guard.
     """
     def draw(k):
         return beam_e - lognorm_rvs(k, s, e_loss, scale, (n,))
 
     key0, key_loop = jax.random.split(key)
     e = draw(key0)
+
+    if n_redraw_rounds < 0:
+        headroom = beam_e - e_loss
+        valid = (headroom > 0.0) & (scale > 0.0) & (s > 0.0)
+        safe_head = jnp.where(valid, headroom, 1.0)
+        safe_scale = jnp.where(scale > 0.0, scale, 1.0)
+        safe_s = jnp.where(s > 0.0, s, 1.0)
+        z_max = jnp.log(safe_head / safe_scale) / safe_s
+        cdf_max = jax.scipy.special.ndtr(z_max)
+        u = jax.random.uniform(key_loop, (n,),
+                               minval=jnp.finfo(jnp.float32).tiny,
+                               maxval=1.0)
+        z = jax.scipy.special.ndtri(u * cdf_max)
+        fresh = beam_e - (e_loss + safe_scale * jnp.exp(safe_s * z))
+        return jnp.where((e <= 0.0) & valid, fresh, e)
 
     def round_fn(i, e):
         k = jax.random.fold_in(key_loop, i)

@@ -180,13 +180,23 @@ class StoppingTable:
 
     @classmethod
     def build(cls, stopping: BetheStopping, e0_bin_info, x_centers,
-              n_substeps: int = 64) -> "StoppingTable":
-        """e0_bin_info = (minE, maxE, step) as in ``tests/csi_oneBD.py:293``."""
+              n_substeps: int = 64,
+              energy_floor: float | None = None) -> "StoppingTable":
+        """e0_bin_info = (minE, maxE, step) as in ``tests/csi_oneBD.py:293``.
+
+        ``energy_floor``: freeze rows at this energy during the build like
+        ``rk4_transport`` does (None = integrate unguarded, matching the
+        reference ``betheApprox`` exactly; the Bethe formula is unphysical
+        below ~18 keV, so grid rows that stop inside the cell then carry
+        junk — harmless when, as in oneBD, those rows sit far below the
+        histogram range, but the floored build keeps the whole table
+        physical)."""
         lo, hi, step = e0_bin_info
         e0_grid = np.arange(lo, hi, step, dtype=np.float64)
         x_centers = np.asarray(x_centers, dtype=np.float64)
         # Host-side f64 RK4 (numpy mirror of rk4_transport) for the tiny grid.
-        table = _rk4_transport_np(stopping, e0_grid, x_centers, n_substeps)
+        table = _rk4_transport_np(stopping, e0_grid, x_centers, n_substeps,
+                                  energy_floor=energy_floor)
         coeffs = cubic_spline_coeffs(e0_grid, table)  # (4, G-1, M)
         return cls(e0_grid, x_centers, table.T.copy().T, coeffs)
 
@@ -241,7 +251,8 @@ class StoppingTable:
                 and np.array_equal(self.table, other.table))
 
 
-def _rk4_transport_np(stopping: BetheStopping, e0, x_eval, n_substeps):
+def _rk4_transport_np(stopping: BetheStopping, e0, x_eval, n_substeps,
+                      energy_floor: float | None = None):
     """Host/f64 RK4 used for one-time table builds (no jax dependency)."""
     n_e = stopping._electron_densities()
     excitations = np.array([m[3] for m in stopping.materials])
@@ -260,11 +271,23 @@ def _rk4_transport_np(stopping: BetheStopping, e0, x_eval, n_substeps):
     for j, x in enumerate(x_eval):
         h = (x - x_prev) / n_substeps
         for _ in range(n_substeps):
-            k1 = dedx(e)
-            k2 = dedx(e + 0.5 * h * k1)
-            k3 = dedx(e + 0.5 * h * k2)
-            k4 = dedx(e + h * k3)
-            e = e + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+            if energy_floor is None:
+                k1 = dedx(e)
+                k2 = dedx(e + 0.5 * h * k1)
+                k3 = dedx(e + 0.5 * h * k2)
+                k4 = dedx(e + h * k3)
+                e = e + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+            else:
+                f = energy_floor
+                stopped = e <= f
+                e_safe = np.maximum(e, f)
+                k1 = dedx(e_safe)
+                k2 = dedx(np.maximum(e_safe + 0.5 * h * k1, f))
+                k3 = dedx(np.maximum(e_safe + 0.5 * h * k2, f))
+                k4 = dedx(np.maximum(e_safe + h * k3, f))
+                e_new = np.maximum(
+                    e_safe + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4), f)
+                e = np.where(stopped, e, e_new)
         out[:, j] = e
         x_prev = x
     return out

@@ -60,3 +60,32 @@ def test_beam_energy_rvs_redraws_negatives():
                                    n_redraw_rounds=16))
     # a meaningful fraction must have been repaired to positive
     assert (e > 0).mean() > 0.5
+
+
+def test_beam_energy_rvs_truncate_mode_exact():
+    """Default mode (-1) replaces non-positive samples with exact
+    truncated-lognorm draws == the reference's redraw-until-positive
+    rejection loop (tests/simultFit.py:245-252).  Oracle: numpy rejection
+    sampling of the same truncated distribution."""
+    key = jax.random.PRNGKey(11)
+    beam_e, e_loss, scale, s = 500.0, 100.0, 300.0, 1.0  # ~37% negative
+    e = np.asarray(beam_energy_rvs(key, 200_000, beam_e, e_loss, scale, s))
+    assert (e > 0).all()
+
+    rng = np.random.default_rng(0)
+    draws = beam_e - stats.lognorm.rvs(s, e_loss, scale, size=2_000_000,
+                                       random_state=rng)
+    oracle = draws[draws > 0]
+    np.testing.assert_allclose(e.mean(), oracle.mean(), rtol=5e-3)
+    np.testing.assert_allclose(e.std(), oracle.std(), rtol=1e-2)
+    ks = stats.kstest(e[:20000], lambda x: (
+        np.searchsorted(np.sort(oracle), x) / len(oracle)))
+    assert ks.pvalue > 1e-3, f"KS p={ks.pvalue}"
+
+
+def test_beam_energy_rvs_truncate_degenerate_params():
+    """No positive support (beamE <= eLoss): samples keep their first draw
+    (downstream range masks / NaN guards absorb them) instead of NaNs."""
+    key = jax.random.PRNGKey(12)
+    e = np.asarray(beam_energy_rvs(key, 1000, 100.0, 200.0, 50.0, 0.5))
+    assert np.isfinite(e).all()

@@ -103,3 +103,27 @@ def test_bethe_with_material_functional():
     base = BetheStopping(materials=())
     m = base.with_material(1.0, 2.0, 8.565e-5, 19.2e-3)
     assert len(base.materials) == 0 and len(m.materials) == 1
+
+
+def test_simult_table_matches_rk4_transport():
+    """The simult table fast path must reproduce the RK4/ODE transport to
+    well below physical relevance over the physical beam-energy range
+    (the reference's own betheApprox validation strategy,
+    tests/testStoppingApproximation.py:117-144)."""
+    import jax.numpy as jnp
+    from mcmctoffitting_tpu.models import simult
+    from mcmctoffitting_tpu.ops.stopping import rk4_transport
+
+    spec = simult.default_spec(n_samples=16)
+    assert spec.transport == "table" and spec.stopping_table is not None
+    e0 = jnp.linspace(25.0, 1925.0, 4001)
+    want = np.asarray(rk4_transport(spec.stopping.dedx, e0,
+                                    spec.x_binning.centers, n_substeps=4))
+    got = np.asarray(spec.stopping_table.eval_stopped(e0)).T  # (M, N)
+    err = np.abs(got - want)
+    # inside the eD histogram range the surrogate must be exact for
+    # physics purposes; below it (the near-stopping region, where dE/dx
+    # steepens toward the 20 keV floor and every sample is dropped by the
+    # 200 keV histogram floor anyway) a ~keV spline ripple is tolerated
+    assert err[want >= 200.0].max() < 5e-3, err[want >= 200.0].max()
+    assert err.max() < 2.0, err.max()
