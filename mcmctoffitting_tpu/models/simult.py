@@ -36,12 +36,13 @@ GUESS_SHARED = np.array([1878.4, 850.0, 170.0, 0.5])
 AGITATORS_SHARED = np.array([10.0, 50.0, 20.0, 0.1])
 
 
-# simult's own betheApprox-style grid: wider and finer than oneBD's
-# (100, 2400, 100) so the whole physical beam range incl. the low-energy
-# lognorm tail interpolates (never extrapolates).  10 keV rows keep the
-# spline within 2e-3 keV of the ODE over the histogram range (E >= 200 keV)
-# and within ~1.3 keV even in the near-stopping region below it.
-SIMULT_TABLE_BINNING = (20.0, 2420.0, 10.0)
+# simult's own betheApprox-style grid: wider than oneBD's (100, 2400, 100)
+# so the whole physical beam range incl. the low-energy lognorm tail
+# interpolates (never extrapolates).  25 keV rows keep the spline within
+# 0.1 keV of the ODE over the histogram range (E >= 200 keV) — 0.5% of an
+# eD bin — while the per-sample one-hot lookup stays ~96 segments wide
+# (10 keV rows measured 2e-3 keV but cost 2.5x the VPU compares).
+SIMULT_TABLE_BINNING = (20.0, 2420.0, 25.0)
 
 
 @functools.lru_cache(maxsize=4)

@@ -64,12 +64,12 @@ def beam_energy_rvs(key, n: int, beam_e, e_loss, scale, s,
     (``tests/simultFit.py:243-252``) — i.e. it rejection-samples the
     lognorm TRUNCATED at beamE.  Two jit-friendly equivalents:
 
-    * ``n_redraw_rounds = -1`` (default): **exact truncation** — replace
-      each non-positive sample with an inverse-CDF draw from the truncated
-      distribution (z <= z_max = ln((beamE - eLoss)/scale)/s).  This is
-      statistically identical to the reference's infinite-redraw loop
-      (rejection == truncation) at the cost of ONE extra uniform+ndtri
-      pass, instead of several full redraw rounds of erfinv work.
+    * ``n_redraw_rounds = -1`` (default): **exact truncation** — draw every
+      sample from the truncated distribution by inverse CDF
+      (z = ndtri(u * Phi(z_max)), z_max = ln((beamE - eLoss)/scale)/s).
+      Statistically identical to the reference's infinite-redraw loop
+      (rejection sampling == truncation) at the cost of a single
+      transcendental pass — no redraw rounds at all.
     * ``n_redraw_rounds >= 0``: fixed-budget masked redraw (the round-1
       scheme; 0 rounds reproduces the oneBD driver that simply disabled
       the loop, ``tests/csi_oneBD.py:440-447``).
@@ -83,22 +83,26 @@ def beam_energy_rvs(key, n: int, beam_e, e_loss, scale, s,
         return beam_e - lognorm_rvs(k, s, e_loss, scale, (n,))
 
     key0, key_loop = jax.random.split(key)
-    e = draw(key0)
 
     if n_redraw_rounds < 0:
+        # every sample drawn from the truncated distribution directly:
+        # z = ndtri(u * Phi(z_max)) — ONE transcendental pass, same cost
+        # as an untruncated draw.  Invalid parameters get cdf multiplier 1
+        # (a plain draw; downstream guards absorb the negatives).
         headroom = beam_e - e_loss
         valid = (headroom > 0.0) & (scale > 0.0) & (s > 0.0)
         safe_head = jnp.where(valid, headroom, 1.0)
         safe_scale = jnp.where(scale > 0.0, scale, 1.0)
         safe_s = jnp.where(s > 0.0, s, 1.0)
         z_max = jnp.log(safe_head / safe_scale) / safe_s
-        cdf_max = jax.scipy.special.ndtr(z_max)
-        u = jax.random.uniform(key_loop, (n,),
+        cdf_max = jnp.where(valid, jax.scipy.special.ndtr(z_max), 1.0)
+        u = jax.random.uniform(key0, (n,),
                                minval=jnp.finfo(jnp.float32).tiny,
                                maxval=1.0)
         z = jax.scipy.special.ndtri(u * cdf_max)
-        fresh = beam_e - (e_loss + safe_scale * jnp.exp(safe_s * z))
-        return jnp.where((e <= 0.0) & valid, fresh, e)
+        return beam_e - (e_loss + scale * jnp.exp(s * z))
+
+    e = draw(key0)
 
     def round_fn(i, e):
         k = jax.random.fold_in(key_loop, i)

@@ -26,8 +26,11 @@ def test_fused_matches_xla_grid():
     st = d2_gas_stopping()
     rng = np.random.default_rng(0)
     e0 = rng.uniform(500.0, 1200.0, 4096).astype(np.float32)
-    spec = dataclasses.replace(simult.default_spec(n_samples=4096),
-                               rk4_substeps=1)
+    # the fused kernel implements the rk4 transport, so compare against
+    # the rk4 XLA path (the spec default is now the table surrogate)
+    spec = dataclasses.replace(
+        simult.default_spec(n_samples=4096, transport="rk4"),
+        rk4_substeps=1)
     g_xla, _ = energy_weight_grid(spec, jnp.asarray(e0))
     from mcmctoffitting_tpu.models.forward import _taylor_coeffs
     moments = np.asarray(fused_transport_moments(
@@ -53,8 +56,9 @@ def test_fused_spec_path_matches_default():
 
     pf.fused_transport_moments = interp_version
     try:
-        spec = dataclasses.replace(simult.default_spec(n_samples=2048),
-                                   use_pallas=True)
+        spec = dataclasses.replace(
+            simult.default_spec(n_samples=2048, transport="rk4"),
+            use_pallas=True)
         spec_ref = dataclasses.replace(spec, use_pallas=False)
         e0 = jnp.linspace(500.0, 1200.0, 2048)
         g1, _ = energy_weight_grid(spec, e0)
