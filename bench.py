@@ -26,7 +26,10 @@ N_WALKERS = 256
 N_RUNS = 4
 N_DRAWS = 200_000
 N_STEPS_MEASURE = 10
-WALKER_CHUNK = 32  # lnprob evals per vmap block (memory cap)
+# lnprob evals per vmap block (memory cap); overridable for chunk sweeps.
+# 64 measured best on v5e with the sequential run axis (667.6 vs 643.1
+# walker-steps/s at 32; tools/tpu_ablate*.py)
+WALKER_CHUNK = int(os.environ.get("BENCH_WALKER_CHUNK", "64"))
 
 
 def _log(msg: str) -> None:

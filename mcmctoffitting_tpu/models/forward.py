@@ -108,6 +108,21 @@ class ForwardSpec:
     # the final weighted grid differs from f32 by <1e-5 relative (the
     # sigma*M0 term dominates) — far below Monte-Carlo noise.
     moment_dtype: str = "float32"
+    # radix factorization of the moment one-hot: 0 = direct (..== bins over
+    # all Be columns); L > 0 decomposes idx = q*L + r and contracts via a
+    # (4L x chunk) x (chunk x ceil(Be/L)) matmul — the VPU compare count per
+    # sample drops from M*Be to M*(L + ceil(Be/L) + 4L) (a ~4x cut at
+    # Be=400) and the MXU tile grows from 4 rows to 4L.  Exact: one-hot
+    # factor matrices have a single 1 per row.  MEASURED SLOWER on v5e
+    # (the channel expansion + relayout outweighs the compare savings:
+    # 95.8/215 ms vs 69.9 ms base at L=8/16) — kept for the record.
+    moment_radix: int = 0
+    # run-axis execution in tof_spectra_multi: 'batched' vmaps the run
+    # axis through draw+grid (round-1 win), 'sequential' lax.maps it —
+    # the per-(walker, run) working set at 200k draws pushes the batched
+    # form superlinear (measured 69.9 ms for 4 batched runs vs 13.4 ms
+    # for 1 at the same draw count), so sequential wins at scale
+    run_axis: str = "batched"
     # run the fused Pallas transport+moments kernel (ops/pallas_forward.py)
     # instead of the XLA scan for the taylor/rk4 path.  Numerically equal to
     # 1e-7; measured on v5e: 73 ms vs XLA's 40 ms per 32-walker batch (XLA's
@@ -225,6 +240,9 @@ def energy_weight_grid(spec: ForwardSpec, e_zeros):
         mdtype = jnp.bfloat16 if spec.moment_dtype == "bfloat16" \
             else jnp.float32
 
+        radix = spec.moment_radix
+        n_q = -(-eb.n // radix) if radix else 0
+
         def body(acc, inputs):
             e0_blk, valid_blk = inputs
             e_at_x = _transport_all(spec, e0_blk)        # (M, chunk)
@@ -237,11 +255,31 @@ def energy_weight_grid(spec: ForwardSpec, e_zeros):
             chans = jnp.stack([base, base * delta, base * d2,
                                base * d2 * delta],
                               axis=-2).astype(mdtype)    # (M, 4, chunk)
-            onehot = (idx[:, :, None] == bins).astype(mdtype)
-            contrib = jax.lax.dot_general(
-                chans, onehot,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)      # (M, 4, Be)
+            if radix:
+                # idx = q*L + r; contract channels*onehot(r) against
+                # onehot(q) — see ForwardSpec.moment_radix
+                q, r = jnp.divmod(idx, radix)
+                oh_r = (r[:, :, None]
+                        == jnp.arange(radix, dtype=jnp.int32)
+                        ).astype(mdtype)                 # (M, chunk, L)
+                oh_q = (q[:, :, None]
+                        == jnp.arange(n_q, dtype=jnp.int32)
+                        ).astype(mdtype)                 # (M, chunk, Q)
+                chans_r = (chans[:, :, None, :]
+                           * jnp.moveaxis(oh_r, -1, -2)[:, None])
+                contrib = jax.lax.dot_general(
+                    chans_r.reshape(n_x, 4 * radix, -1), oh_q,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # (M, 4L, Q)
+                contrib = jnp.moveaxis(
+                    contrib.reshape(n_x, 4, radix, n_q), -1, -2
+                ).reshape(n_x, 4, n_q * radix)[..., : eb.n]
+            else:
+                onehot = (idx[:, :, None] == bins).astype(mdtype)
+                contrib = jax.lax.dot_general(
+                    chans, onehot,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # (M, 4, Be)
             return acc + contrib, None
 
         acc0 = jnp.zeros((n_x, 4, eb.n), jnp.float32)
@@ -377,16 +415,22 @@ def tof_spectra_multi(run_keys, params, spec: ForwardSpec,
         kd, kb = jax.random.split(run_keys[r])
         draw_keys.append(kd)
         bg_keys.append(kb)
-    e_zeros = jax.vmap(lambda k: sample_beam_energies(
-        k, spec, params))(jnp.stack(draw_keys))           # (R, N)
-
-    grids, _ = jax.vmap(lambda e: energy_weight_grid(spec, e))(e_zeros)
+    if spec.run_axis == "sequential":
+        def one_run(k):
+            e = sample_beam_energies(k, spec, params)
+            grid, _ = energy_weight_grid(spec, e)
+            return grid, jnp.mean(e)
+        grids, e0_means = jax.lax.map(one_run, jnp.stack(draw_keys))
+    else:
+        e_zeros = jax.vmap(lambda k: sample_beam_energies(
+            k, spec, params))(jnp.stack(draw_keys))       # (R, N)
+        grids, _ = jax.vmap(lambda e: energy_weight_grid(spec, e))(e_zeros)
+        e0_means = jnp.mean(e_zeros, axis=-1)             # (R,)
     area = spec.ed_binning.width * spec.x_binning.width
     grids = grids / (jnp.sum(grids, axis=(1, 2), keepdims=True) * area)
     draws = grids * spec.n_samples
     if spec.rint_draws:
         draws = jnp.rint(draws)
-    e0_means = jnp.mean(e_zeros, axis=-1)                 # (R,)
 
     # --- batched TOF stage: all runs share one histogram/convolution
     # program (windows differ per run; see weighted_histogram_multi_window)

@@ -81,6 +81,10 @@ def default_spec(n_samples: int = 200_000, *,
         beam_timing=ExGaussianTiming(),
         zero_degree="segments",
         cell_attenuation=False,
+        # sequential run axis: the 4-run x 200k-draw batched working set
+        # went superlinear on v5e (tools/tpu_ablate_simult.py); lax.map
+        # over runs halved the measured lnprob block
+        run_axis="sequential",
         n_samples=n_samples,
         # one-hot block peak memory scales as walker_chunk * n_runs * x_bins
         # * histogram_chunk * eD_bins; 4096 keeps the fully batched joint

@@ -53,7 +53,7 @@ def main():
     observed = data_io.synthesize_observed(jax.random.fold_in(key, 9),
                                            problem, truth)
     logp_batch = make_logp_batch(problem.make_log_prob_fn(observed),
-                                 chunk=32)
+                                 chunk=_arg("--chunk", 32))
     p0 = problem.initial_walkers_from_observed(
         jax.random.fold_in(key, 1), n_walkers, observed)
 
