@@ -65,10 +65,17 @@ def measure_tpu() -> float:
     _log(f"bench: init {N_WALKERS} walkers x {N_RUNS} runs x {N_DRAWS} draws")
     state = init_state(jax.random.fold_in(key, 2), p0, logp_batch)
     jax.block_until_ready(state.log_probs)
-    # warm-up with the SAME step count as the measurement so the scan
-    # program compiles once and is reused
-    _log("bench: warm-up segment (compiles the step program)")
-    chain = run_mcmc(state, N_STEPS_MEASURE, logp_batch)
+
+    # one jitted program for the whole measurement segment; lower+compile
+    # explicitly so the FLOP count (for MFU) comes from the exact program
+    # being timed
+    run = jax.jit(lambda s: run_mcmc(s, N_STEPS_MEASURE, logp_batch))
+    _log("bench: compiling the segment program")
+    compiled = run.lower(state).compile()
+    flops = _program_flops(compiled)
+
+    _log("bench: warm-up segment")
+    chain = compiled(state)
     jax.block_until_ready(chain.positions)
     state = chain.state
 
@@ -76,13 +83,35 @@ def measure_tpu() -> float:
     best_dt = float("inf")
     for rep in range(2):
         t0 = time.perf_counter()
-        chain = run_mcmc(state, N_STEPS_MEASURE, logp_batch)
+        chain = compiled(state)
         jax.block_until_ready(chain.positions)
         dt = time.perf_counter() - t0
         state = chain.state
         _log(f"bench: segment {rep}: {N_STEPS_MEASURE} steps in {dt:.2f}s")
         best_dt = min(best_dt, dt)
-    return N_STEPS_MEASURE * N_WALKERS / best_dt
+
+    mfu = None
+    if flops:
+        # v5e peak: 197 TFLOP/s bf16 (394 int8); f32 work on the MXU runs
+        # at a fraction of that, so bf16 peak is the conservative
+        # denominator used throughout the scaling literature
+        mfu = flops / best_dt / 197e12
+        _log(f"bench: {flops / 1e12:.2f} TFLOP per {N_STEPS_MEASURE}-step "
+             f"segment -> {flops / best_dt / 1e12:.2f} TFLOP/s "
+             f"({100 * mfu:.2f}% of v5e bf16 peak)")
+    return N_STEPS_MEASURE * N_WALKERS / best_dt, mfu
+
+
+def _program_flops(compiled) -> float | None:
+    """Total FLOPs of the compiled segment per XLA's cost analysis."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception as e:
+        _log(f"bench: cost analysis unavailable ({type(e).__name__}: {e})")
+        return None
 
 
 def reference_baseline() -> float | None:
@@ -102,12 +131,12 @@ def reference_baseline() -> float | None:
 
 def main() -> None:
     try:
-        value = measure_tpu()
+        value, mfu = measure_tpu()
     except Exception as e:  # transient TPU tunnel faults: one retry
         _log(f"bench: first attempt failed ({type(e).__name__}: {e}); "
              "retrying once")
         time.sleep(10)
-        value = measure_tpu()
+        value, mfu = measure_tpu()
     baseline = reference_baseline()
     out = {
         "metric": "simultFit_walker_steps_per_sec",
@@ -115,6 +144,8 @@ def main() -> None:
         "unit": "walker-steps/s (256 walkers, 4 runs, 200k draws/eval)",
         "vs_baseline": round(value / baseline, 2) if baseline else None,
     }
+    if mfu is not None:
+        out["mfu_pct_v5e_bf16_peak"] = round(100 * mfu, 3)
     print(json.dumps(out))
 
 

@@ -102,7 +102,21 @@ class ForwardSpec:
     #     gathers dominate everything else on TPU (measured 1.9-6.8 s vs
     #     61 ms for the entire rest of the forward model).
     #   'exact' — per-sample spline evaluation (reference-literal path).
+    #   'e0grid' — static e0-space preimage factorization (ops/e0grid.py):
+    #     the parameter-INdependent transport map is inverted at build time,
+    #     so the per-sample work collapses to one fine-grid moment one-hot
+    #     shared by every x-slice (F compares/sample instead of
+    #     M*Be + transport) plus one static MXU contraction.  Requires
+    #     transport='table' (the preimages invert the stopping table) and
+    #     ``e0_grid_table``.  Accuracy: boundary fine cells are split by a
+    #     mass/mean-conserving linear-density model; per-grid-cell error is
+    #     measured (tests/test_e0grid.py) far below the reference's own
+    #     rint() rounding of +-0.5 counts per cell.
     xs_mode: str = "taylor"
+    # static E0GridTable for xs_mode='e0grid' (ops/e0grid.py)
+    e0_grid_table: object = None
+    # fine-cell count F for the e0grid build (used by model presets)
+    e0_grid_fine: int = 1024
     # dtype of the one-hot/moment-channel MXU contraction.  bf16 measured no
     # faster than f32 here (the contraction is not bandwidth-bound); if used,
     # the final weighted grid differs from f32 by <1e-5 relative (the
@@ -191,6 +205,62 @@ def _taylor_coeffs(spec: ForwardSpec) -> np.ndarray:
                      (1.0 / 6.0) * s3 * w ** 3])
 
 
+def _e0grid_weight_grid(spec: ForwardSpec, e_zeros):
+    """xs_mode='e0grid' hot path (see ops/e0grid.py for the construction).
+
+    Per sample-chunk: arithmetic fine-cell index + one one-hot MXU moment
+    dot SHARED across all x-slices; after the scan, one static matmul maps
+    the (4, F) moments to the (M, Be) grid.  No transport lookups, no
+    per-slice one-hots, no gathers.
+    """
+    tab = spec.e0_grid_table
+    n = e_zeros.shape[-1]
+    chunk = min(spec.histogram_chunk, n)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    e0 = jnp.asarray(e_zeros, jnp.float32)
+    valid = jnp.ones_like(e0)
+    if pad:
+        # padding value sits below e0_lo -> masked by in_range anyway, but
+        # keep the explicit valid mask for clarity/robustness
+        e0 = jnp.concatenate(
+            [e0, jnp.full((pad,), tab.e0_lo, e0.dtype)], axis=-1)
+        valid = jnp.concatenate(
+            [valid, jnp.zeros((pad,), valid.dtype)], axis=-1)
+    e0_c = e0.reshape(n_chunks, chunk)
+    valid_c = valid.reshape(n_chunks, chunk)
+
+    n_fine = tab.n_fine
+    cells = jnp.arange(n_fine, dtype=jnp.int32)
+    inv_cell = n_fine / (tab.e0_hi - tab.e0_lo)
+    inv_tscale = 1.0 / tab.t_scale
+    mdtype = jnp.bfloat16 if spec.moment_dtype == "bfloat16" else jnp.float32
+
+    def body(acc, inputs):
+        e0_blk, valid_blk = inputs
+        u = (e0_blk - tab.e0_lo) * inv_cell
+        idx = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, n_fine - 1)
+        in_range = (e0_blk >= tab.e0_lo) & (e0_blk <= tab.e0_hi)
+        base = jnp.where(in_range, valid_blk, 0.0)
+        t = (e0_blk - tab.t_ref) * inv_tscale
+        t2 = t * t
+        chans = jnp.stack([base, base * t, base * t2, base * t2 * t],
+                          axis=-2).astype(mdtype)           # (4, chunk)
+        onehot = (idx[:, None] == cells).astype(mdtype)      # (chunk, F)
+        contrib = jax.lax.dot_general(
+            chans, onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (4, F)
+        return acc + contrib, None
+
+    acc0 = jnp.zeros((4, n_fine), jnp.float32)
+    moments, _ = jax.lax.scan(body, acc0, (e0_c, valid_c))
+    a = jnp.asarray(tab.a_matrix)                            # (4F, M*Be)
+    grid = jnp.dot(moments.reshape(-1), a, precision="highest",
+                   preferred_element_type=jnp.float32)
+    return grid.reshape(tab.n_x, tab.n_ed)
+
+
 def energy_weight_grid(spec: ForwardSpec, e_zeros):
     """Steps 2-3: initial energies -> XS-weighted (x_bins, eD_bins) grid.
 
@@ -209,7 +279,13 @@ def energy_weight_grid(spec: ForwardSpec, e_zeros):
     """
     eb = spec.ed_binning
 
-    if (spec.xs_mode == "taylor" and hasattr(spec.xs, "eval_np")
+    if spec.xs_mode == "e0grid":
+        if spec.e0_grid_table is None:
+            raise ValueError("xs_mode='e0grid' requires e0_grid_table "
+                             "(ops.e0grid.build_e0_grid_table)")
+        grid = _e0grid_weight_grid(spec, e_zeros)
+        e_at_x = None
+    elif (spec.xs_mode == "taylor" and hasattr(spec.xs, "eval_np")
             and spec.use_pallas and spec.transport == "rk4"):
         from ..ops.pallas_forward import fused_transport_moments
         moments = fused_transport_moments(

@@ -45,10 +45,24 @@ def _build_table(rho: float, x_binning_n: int) -> StoppingTable:
 
 
 def default_spec(n_samples: int = 200_000, *,
-                 hardcore: bool = False) -> ForwardSpec:
-    """oneBD forward spec; density 4x (2 atm run, tests/csi_oneBD.py:273)."""
+                 hardcore: bool = False,
+                 xs_mode: str = "taylor") -> ForwardSpec:
+    """oneBD forward spec; density 4x (2 atm run, tests/csi_oneBD.py:273).
+
+    xs_mode='e0grid': static preimage factorization (ops/e0grid.py) — the
+    per-sample transport lookup + per-slice one-hot histograms collapse
+    into one shared fine-grid moment pass.
+    """
     rho = 4 * 8.565e-5
     ed_bins, x_bins = (400, 20) if hardcore else (100, 10)
+    e0_grid_table = None
+    e0_grid_fine = 2048 if hardcore else 1024
+    if xs_mode == "e0grid":
+        from ..ops.e0grid import cached_e0_grid_table
+        from ..ops.xs import ddn_xs_uniform
+        e0_grid_table = cached_e0_grid_table(
+            _build_table(rho, x_bins), deuteron_binning_onebd(ed_bins),
+            ddn_xs_uniform, e0_grid_fine)
     return ForwardSpec(
         geometry=TUNL_SSA_CSI_ONEBD,
         ed_binning=deuteron_binning_onebd(ed_bins),
@@ -69,6 +83,9 @@ def default_spec(n_samples: int = 200_000, *,
         # has 100 (default) / 400 (-hardcore) eD bins vs simult's 50, so the
         # chunk is half/eighth to keep the same peak footprint
         histogram_chunk=512 if hardcore else 2048,
+        xs_mode=xs_mode,
+        e0_grid_table=e0_grid_table,
+        e0_grid_fine=e0_grid_fine,
     )
 
 

@@ -55,7 +55,8 @@ def _build_table(rho: float) -> StoppingTable:
 
 
 def default_spec(n_samples: int = 200_000, *,
-                 transport: str = "table") -> ForwardSpec:
+                 transport: str = "table",
+                 xs_mode: str = "taylor") -> ForwardSpec:
     """Forward spec for the simultFit campaign.
 
     transport='table' (default): precomputed E(E0, x) spline table — the
@@ -65,8 +66,21 @@ def default_spec(n_samples: int = 200_000, *,
     < 2e-3 keV over the physical beam range (test_stopping.py) while
     skipping ~40 transcendental dE/dx evals per sample.
     transport='rk4': the literal ODE path (``tests/simultFit.py:256-258``).
+    xs_mode='e0grid': static preimage factorization (ops/e0grid.py) — the
+    per-sample transport + per-slice histograms collapse into one shared
+    fine-grid moment pass (requires transport='table').
     """
     rho = 8.565e-5
+    e0_grid_table = None
+    e0_grid_fine = 512
+    if xs_mode == "e0grid":
+        if transport != "table":
+            raise ValueError("xs_mode='e0grid' requires transport='table'")
+        from ..ops.e0grid import cached_e0_grid_table
+        from ..ops.xs import ddn_xs_uniform
+        e0_grid_table = cached_e0_grid_table(
+            _build_table(rho), SIMULTFIT_ED_BINNING, ddn_xs_uniform,
+            e0_grid_fine)
     return ForwardSpec(
         geometry=TUNL_SSA_CSI,
         ed_binning=SIMULTFIT_ED_BINNING,
@@ -90,6 +104,9 @@ def default_spec(n_samples: int = 200_000, *,
         # * histogram_chunk * eD_bins; 4096 keeps the fully batched joint
         # likelihood (32 walkers x 4 runs) under ~4 GB of HBM
         histogram_chunk=4096,
+        xs_mode=xs_mode,
+        e0_grid_table=e0_grid_table,
+        e0_grid_fine=e0_grid_fine,
     )
 
 

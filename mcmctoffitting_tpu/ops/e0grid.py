@@ -1,0 +1,247 @@
+"""Gather-free (x, eD) weight grid via static e0-space preimages.
+
+The forward model's hot stage bins XS-weighted TRANSPORTED energies into an
+(x_bins, eD_bins) grid (``tests/simultFit.py:256-265``,
+``tests/csi_oneBD.py:452-465``).  The one-hot-moment path in
+``models/forward.py`` does that with M * Be compares per sample (plus a
+per-sample transport-table lookup).  This module removes both, using a
+structural fact of the physics: **the transport map E(e0, x) does not depend
+on the sampled parameters** — theta only moves the initial-energy draw.  So:
+
+1. (build time, host, f64) For every x-slice m, invert the stopping table:
+   the eD bin edges pull back to static *preimage edges* z[m, b] in
+   e0-space.  A sample lands in (m, b) iff e0 is in [z[m,b], z[m,b+1]).
+2. (build time) Lay a uniform fine grid of F cells over the union of the
+   preimage ranges.  Within each fine cell, the composite weight function
+   g_m(e0) = sigma_DDN(E(e0, x_m)) is fit by a cubic (in a globally
+   normalized variable t), and every (cell x slice) overlap with a preimage
+   interval is compiled into one static linear map A from fine-cell raw
+   t-moments (S0..S3) to grid cells.
+3. (run time, device) Per sample: ONE arithmetic fine-cell index + one-hot
+   moment accumulation shared by ALL x-slices (F compares per sample instead
+   of M * Be + transport), then grid = S @ A — a single static MXU matmul.
+
+Accuracy: interior fine cells are exact up to the cubic fit of g_m over a
+~1-2 keV cell (error O(h^4 g''''), orders below the XS table's 1%).  Fine
+cells straddling a preimage edge are split by a linear-density model matched
+to the cell's observed (S0, S1) — the split is mass- and mean-conserving by
+construction (the two sides sum to the exact cell contraction), so the only
+approximation is *where inside a ~keV-wide cell* the boundary samples sit.
+The resulting per-cell error is far below the reference's own
+``rint(dataHist * nSamples)`` rounding of +-0.5 counts per grid cell
+(``tests/simultFit.py:283``); see tests/test_e0grid.py for measured bounds.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+
+def _eval_table_np(table, e0):
+    """Host f64 mirror of ``StoppingTable.eval_stopped`` (clip + Horner).
+
+    e0: (K,) -> (K, M) transported energies at each x column, including the
+    same clamped-segment extrapolation behavior as the device lookup.
+    """
+    e0 = np.asarray(e0, dtype=np.float64)
+    lo = float(table.e0_grid[0])
+    step = float(table.e0_grid[1] - table.e0_grid[0])
+    n_seg = table.e0_grid.shape[0] - 1
+    idx = np.clip(((e0 - lo) / step).astype(np.int64), 0, n_seg - 1)
+    dt = (e0 - (lo + step * idx))[:, None]
+    c3, c2, c1, c0 = (table.coeffs[k][idx] for k in range(4))  # (K, M)
+    return ((c3 * dt + c2) * dt + c1) * dt + c0
+
+
+@dataclasses.dataclass(frozen=True)
+class E0GridTable:
+    """Static e0-space grid operator: fine-cell moments -> (M, Be) grid.
+
+    ``e0_lo``/``cell_w``: fine grid geometry (F uniform cells).
+    ``t_ref``/``t_scale``: global normalization t = (e0 - t_ref) / t_scale
+    (keeps moment magnitudes O(1) so the f32 accumulation stays accurate).
+    ``a_matrix``: (4*F, M*Be) f32, k-major rows (channel k of cell f at row
+    4*? no: row f*4+k? see layout note) mapping stacked moments to the grid.
+
+    Layout: moments on device are (4, F) with channel-major flattening
+    (k * F + f), matching ``a_matrix`` rows.
+    """
+
+    e0_lo: float
+    e0_hi: float
+    n_fine: int
+    t_ref: float
+    t_scale: float
+    a_matrix: np.ndarray      # (4 * F, M * Be) f32
+    n_x: int
+    n_ed: int
+
+    def __post_init__(self):
+        object.__setattr__(
+            self, "_hash",
+            hash((self.e0_lo, self.e0_hi, self.n_fine, self.t_ref,
+                  self.t_scale, self.n_x, self.n_ed,
+                  self.a_matrix.tobytes())))
+
+    def __hash__(self):
+        return self._hash
+
+    def __eq__(self, other):
+        return (isinstance(other, E0GridTable)
+                and self._hash == other._hash
+                and np.array_equal(self.a_matrix, other.a_matrix))
+
+
+def build_e0_grid_table(stopping_table, ed_binning, xs,
+                        n_fine: int = 1024,
+                        n_invert: int = 20001) -> E0GridTable:
+    """Compile (stopping table, eD binning, XS spline) into an E0GridTable.
+
+    ``stopping_table``: ops.stopping.StoppingTable (transport surrogate —
+    the reference's own ``betheApprox`` strategy,
+    ``utilities/ionStopping.py:102-136``).
+    ``ed_binning``: config.Binning of the eD histogram axis.
+    ``xs``: spline with a f64 ``eval_np`` (ops.xs.ddn_xs / ddn_xs_uniform).
+    ``n_fine``: fine-cell count F.  Resolution rule of thumb: the fine cell
+    should be a fraction of the narrowest eD-bin preimage; tests measure the
+    resulting per-cell error against the exact path.
+    """
+    table = stopping_table
+    eb = ed_binning
+    n_x = int(table.x_centers.shape[0])
+    n_ed = int(eb.n)
+
+    # --- 1. preimage edges z[m, b] by monotone inversion of E(., x_m)
+    e0_dense = np.linspace(float(table.e0_grid[0]),
+                           float(table.e0_grid[-1]), n_invert)
+    e_dense = _eval_table_np(table, e0_dense)              # (K, M)
+    ed_edges = np.asarray(eb.edges, dtype=np.float64)      # (Be + 1,)
+    z = np.empty((n_x, n_ed + 1))
+    for m in range(n_x):
+        col = e_dense[:, m]
+        d = np.diff(col)
+        if not np.all(d > 0):
+            # the physical map is strictly increasing; tolerate flat spots
+            # from the energy floor by nudging monotone
+            col = np.maximum.accumulate(col)
+            col = col + np.arange(col.size) * 1e-9
+        z[m] = np.interp(ed_edges, col, e0_dense)
+
+    lo = float(z.min())
+    hi = float(z.max())
+    span = hi - lo
+    lo -= 1e-6 * span
+    hi += 1e-6 * span
+    cell_w = (hi - lo) / n_fine
+    t_ref = 0.5 * (lo + hi)
+    t_scale = 0.5 * (hi - lo)
+
+    def to_t(e0):
+        return (np.asarray(e0) - t_ref) / t_scale
+
+    cell_edges = lo + cell_w * np.arange(n_fine + 1)
+    cell_edges_t = to_t(cell_edges)
+    h_t = cell_edges_t[1] - cell_edges_t[0]
+
+    # --- 2. per-(slice, cell) cubic fits of g_m(e0) = sigma(E(e0, x_m))
+    # 4 Chebyshev nodes per cell, Vandermonde solve in the global t variable
+    cheb = 0.5 * (1.0 + np.cos(np.pi * (2 * np.arange(4) + 1) / 8.0))[::-1]
+    nodes = cell_edges[:-1, None] + cell_w * cheb[None, :]   # (F, 4)
+    nodes_t = to_t(nodes)
+    e_nodes = _eval_table_np(table, nodes.reshape(-1))       # (F*4, M)
+    g_nodes = xs.eval_np(e_nodes.T.reshape(-1)).reshape(n_x, n_fine, 4)
+    vand = nodes_t[:, :, None] ** np.arange(4)[None, None, :]  # (F, 4, 4)
+    # c[m, f, k]: g_m(t) ~= sum_k c[m,f,k] t^k on cell f
+    c = np.linalg.solve(np.broadcast_to(vand, (n_x, n_fine, 4, 4)),
+                        g_nodes[..., None])[..., 0]          # (M, F, 4)
+
+    # --- 3. assemble A: for every (m, cell, overlapping bin) segment
+    # moments of a segment [s0, s1] (t units) under the linear-density
+    # model rho(t) = a + b (t - tc), a = S0/h, b = 12 (S1 - tc S0) / h^3:
+    #   M_k = a I_k + b J_k,  I_k = int t^k,  J_k = int (t - tc) t^k
+    a_mat = np.zeros((4, n_fine, n_x, n_ed))
+
+    z_t = to_t(z)                                            # (M, Be+1)
+    pows = np.arange(1, 6, dtype=np.float64)                 # k+1 for k=0..4
+
+    def ikjk(s0, s1, tc):
+        """I_k and J_k for k = 0..3 over [s0, s1] (vectorized over segs)."""
+        p0 = s0[..., None] ** pows
+        p1 = s1[..., None] ** pows
+        ints = (p1 - p0) / pows                              # int t^k, k=0..4
+        i_k = ints[..., :4]
+        j_k = ints[..., 1:5] - tc[..., None] * ints[..., :4]
+        return i_k, j_k
+
+    for m in range(n_x):
+        zt = z_t[m]                                          # (Be+1,)
+        # for every bin b, the range of fine cells it touches
+        f_lo = np.clip(np.floor((zt[:-1] - cell_edges_t[0]) / h_t
+                                ).astype(np.int64), 0, n_fine - 1)
+        f_hi = np.clip(np.floor((zt[1:] - cell_edges_t[0]) / h_t
+                                ).astype(np.int64), 0, n_fine - 1)
+        for b in range(n_ed):
+            if zt[b + 1] <= zt[b]:
+                continue
+            fa, fb = int(f_lo[b]), int(f_hi[b])
+            # full cells strictly inside (fa, fb): exact 4-channel rows
+            if fb - fa >= 2:
+                full = np.arange(fa + 1, fb)
+                a_mat[:, full, m, b] += c[m, full, :].T      # (4, n_full)
+            # boundary (or single) cells: linear-density split
+            for f in range(fa, fb + 1):
+                if fa < f < fb:
+                    continue
+                s0 = max(zt[b], cell_edges_t[f])
+                s1 = min(zt[b + 1], cell_edges_t[f + 1])
+                if s1 <= s0:
+                    continue
+                if (s0 <= cell_edges_t[f] + 1e-12 * abs(h_t)
+                        and s1 >= cell_edges_t[f + 1] - 1e-12 * abs(h_t)):
+                    # segment covers the whole cell: exact channels
+                    a_mat[:, f, m, b] += c[m, f, :]
+                    continue
+                tc = 0.5 * (cell_edges_t[f] + cell_edges_t[f + 1])
+                i_k, j_k = ikjk(np.asarray(s0), np.asarray(s1),
+                                np.asarray(tc))
+                alpha = float(np.dot(c[m, f],
+                                     i_k / h_t - 12.0 * tc * j_k / h_t ** 3))
+                beta = float(np.dot(c[m, f], 12.0 * j_k / h_t ** 3))
+                a_mat[0, f, m, b] += alpha
+                a_mat[1, f, m, b] += beta
+
+    a_flat = a_mat.reshape(4 * n_fine, n_x * n_ed).astype(np.float32)
+    return E0GridTable(lo, hi, n_fine, t_ref, t_scale, a_flat, n_x, n_ed)
+
+
+@functools.lru_cache(maxsize=8)
+def cached_e0_grid_table(stopping_table, ed_binning, xs,
+                         n_fine: int) -> E0GridTable:
+    """lru-cached builder (all arguments are hashable frozen objects)."""
+    return build_e0_grid_table(stopping_table, ed_binning, xs,
+                               n_fine=n_fine)
+
+
+def e0grid_moments_np(table: E0GridTable, e0):
+    """Host f64 reference of the device moment accumulation (for tests)."""
+    e0 = np.asarray(e0, dtype=np.float64)
+    in_range = (e0 >= table.e0_lo) & (e0 <= table.e0_hi)
+    cell_w = (table.e0_hi - table.e0_lo) / table.n_fine
+    idx = np.clip(((e0 - table.e0_lo) / cell_w).astype(np.int64),
+                  0, table.n_fine - 1)
+    t = (e0 - table.t_ref) / table.t_scale
+    base = in_range.astype(np.float64)
+    chans = np.stack([base, base * t, base * t * t, base * t ** 3])  # (4, N)
+    s = np.zeros((4, table.n_fine))
+    for k in range(4):
+        s[k] = np.bincount(idx, weights=chans[k], minlength=table.n_fine)
+    return s
+
+
+def e0grid_apply_np(table: E0GridTable, e0):
+    """Host reference: full grid from raw draws (for tests)."""
+    s = e0grid_moments_np(table, e0)
+    return (s.reshape(-1) @ table.a_matrix.astype(np.float64)).reshape(
+        table.n_x, table.n_ed)

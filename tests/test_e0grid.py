@@ -1,0 +1,144 @@
+"""xs_mode='e0grid': static e0-space preimage factorization (ops/e0grid.py).
+
+Validates the three claims the design rests on:
+1. the compiled A-operator reproduces the EXACT per-sample
+   transport->XS-weight->histogram grid (the reference semantics,
+   ``tests/csi_oneBD.py:452-465``) to well below the reference's own
+   rint() rounding of +-0.5 counts per grid cell;
+2. the device (jit, f32, one-hot MXU) moment path matches the host f64
+   reference of the same operator;
+3. the full forward spectrum under 'e0grid' matches the 'taylor' production
+   path at the spectrum level.
+"""
+import jax
+import numpy as np
+import pytest
+
+from mcmctoffitting_tpu.models import onebd, simult
+from mcmctoffitting_tpu.models.forward import energy_weight_grid, tof_spectrum
+from mcmctoffitting_tpu.ops.e0grid import (_eval_table_np, e0grid_apply_np)
+from mcmctoffitting_tpu.ops.xs import ddn_xs_uniform
+
+
+def _exact_grid_np(table, ed_binning, e0):
+    """Reference semantics, host f64: transport every sample to every
+    x-slice, weight by sigma(E), histogram into eD bins (closed top edge)."""
+    e_at_x = _eval_table_np(table, e0)                     # (N, M)
+    w = ddn_xs_uniform.eval_np(e_at_x.reshape(-1)).reshape(e_at_x.shape)
+    lo, hi, nb = ed_binning.lo, ed_binning.hi, ed_binning.n
+    grid = np.zeros((e_at_x.shape[1], nb))
+    inv = nb / (hi - lo)
+    for m in range(e_at_x.shape[1]):
+        e = e_at_x[:, m]
+        sel = (e >= lo) & (e <= hi)
+        idx = np.clip(((e[sel] - lo) * inv).astype(np.int64), 0, nb - 1)
+        grid[m] = np.bincount(idx, weights=w[sel, m], minlength=nb)
+    return grid
+
+
+def _draws(seed, n, beam_e=1878.4, e_loss=850.0, scale=170.0, s=0.5):
+    rng = np.random.default_rng(seed)
+    return beam_e - (e_loss + scale * np.exp(s * rng.standard_normal(n)))
+
+
+@pytest.mark.parametrize("preset,max_counts",
+                         [("simult", 0.8), ("onebd", 0.9),
+                          ("onebd_hardcore", 3.0)])
+def test_operator_matches_exact_grid(preset, max_counts):
+    n = 100_000
+    if preset == "simult":
+        spec = simult.default_spec(n_samples=n, xs_mode="e0grid")
+        e0 = _draws(0, n)
+    elif preset == "onebd":
+        spec = onebd.default_spec(n_samples=n, xs_mode="e0grid")
+        e0 = _draws(1, n, beam_e=2490.0, e_loss=1300.0, scale=80.0, s=0.6)
+    else:
+        spec = onebd.default_spec(n_samples=n, hardcore=True,
+                                  xs_mode="e0grid")
+        e0 = _draws(2, n, beam_e=2490.0, e_loss=1300.0, scale=80.0, s=0.6)
+
+    tab = spec.e0_grid_table
+    exact = _exact_grid_np(spec.stopping_table, spec.ed_binning, e0)
+    approx = e0grid_apply_np(tab, e0)
+
+    # total mass: exactly conserved by construction (up to f32 A rounding)
+    assert np.isclose(approx.sum(), exact.sum(), rtol=5e-5)
+
+    # Per-cell error in units of DRAW COUNTS after the reference's
+    # normalization (draws = grid * n / (sum * area) before rint).  The
+    # residual is the boundary split's conditional mis-assignment noise:
+    # samples inside a ~keV fine cell are apportioned by a linear-density
+    # model instead of individually, a zero-mean-across-keys error of
+    # O(sqrt(k_boundary)) counts — measured ~<=10% of each bin's OWN
+    # Poisson/MC noise (sqrt(count)), and of the same order as the
+    # reference's deterministic rint() rounding of +-0.5 per cell.
+    area = spec.ed_binning.width * spec.x_binning.width
+    to_counts = n / (exact.sum() * area)
+    err_counts = np.abs(approx - exact) * to_counts
+    exact_counts = exact * to_counts
+    assert err_counts.max() < max_counts, (
+        f"max per-cell error {err_counts.max():.3f} counts "
+        f"(cell peak {exact_counts.max():.1f})")
+    # every cell's error stays a small fraction of that cell's MC noise
+    noise = np.sqrt(np.maximum(exact_counts, 1.0))
+    assert (err_counts / noise).max() < 0.3
+    # aggregate: tiny relative to the spectrum mass
+    assert err_counts.sum() / max(exact_counts.sum(), 1.0) < 5e-3
+
+
+def test_device_matches_host_reference():
+    n = 50_000
+    spec = simult.default_spec(n_samples=n, xs_mode="e0grid")
+    e0 = _draws(3, n).astype(np.float32)
+    grid_dev, e_at_x = jax.jit(
+        lambda e: energy_weight_grid(spec, e))(e0)
+    assert e_at_x is None
+    grid_host = e0grid_apply_np(spec.e0_grid_table, e0)
+    np.testing.assert_allclose(np.asarray(grid_dev), grid_host,
+                               rtol=2e-4, atol=2e-3 * grid_host.max())
+
+
+def test_device_onebd_attenuation_applied():
+    n = 50_000
+    spec = onebd.default_spec(n_samples=n, xs_mode="e0grid")
+    spec_plain = onebd.default_spec(n_samples=n, xs_mode="taylor")
+    assert spec.cell_attenuation and spec_plain.cell_attenuation
+    e0 = _draws(4, n, beam_e=2490.0, e_loss=1300.0, scale=80.0,
+                s=0.6).astype(np.float32)
+    g_new, _ = jax.jit(lambda e: energy_weight_grid(spec, e))(e0)
+    g_old, _ = jax.jit(lambda e: energy_weight_grid(spec_plain, e))(e0)
+    g_new, g_old = np.asarray(g_new), np.asarray(g_old)
+    # same attenuation profile, near-equal weighted grids
+    mask = g_old > 1e-3 * g_old.max()
+    rel = np.abs(g_new[mask] - g_old[mask]) / g_old[mask].max()
+    assert rel.max() < 5e-3
+
+
+@pytest.mark.parametrize("preset", ["simult", "onebd"])
+def test_forward_spectrum_equivalence(preset):
+    """Full tof_spectrum: e0grid vs the production taylor path."""
+    n = 100_000
+    key = jax.random.PRNGKey(7)
+    if preset == "simult":
+        spec_a = simult.default_spec(n_samples=n, xs_mode="taylor")
+        spec_b = simult.default_spec(n_samples=n, xs_mode="e0grid")
+        prob = simult.SimultFitProblem(spec_a, n_runs=1)
+        params = np.asarray(simult.GUESS_SHARED, np.float32)
+        kwargs = {}
+    else:
+        spec_a = onebd.default_spec(n_samples=n, xs_mode="taylor")
+        spec_b = onebd.default_spec(n_samples=n, xs_mode="e0grid")
+        prob = onebd.OneBDProblem(spec_a, n_runs=1)
+        params = np.asarray([2490.0, 1300.0, 80.0, 0.6], np.float32)
+        kwargs = {}
+    standoff, window = prob.standoffs[0], prob.windows[0]
+
+    sa = tof_spectrum(key, params, spec_a, standoff, window,
+                      get_pdf=True, scale=5.0e4, **kwargs)
+    sb = tof_spectrum(key, params, spec_b, standoff, window,
+                      get_pdf=True, scale=5.0e4, **kwargs)
+    sa, sb = np.asarray(sa), np.asarray(sb)
+    # identical draws; grids differ only by sub-rint approximation, so the
+    # spectra agree to a fraction of a percent of the peak
+    assert np.abs(sa - sb).max() < 5e-3 * sa.max()
+    assert np.abs(sa - sb).sum() < 2e-3 * sa.sum()
