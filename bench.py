@@ -30,6 +30,9 @@ N_STEPS_MEASURE = 10
 # 64 measured best on v5e with the sequential run axis (667.6 vs 643.1
 # walker-steps/s at 32; tools/tpu_ablate*.py)
 WALKER_CHUNK = int(os.environ.get("BENCH_WALKER_CHUNK", "64"))
+# forward-model grid strategy A/B knob ('taylor' | 'e0grid'); see
+# ForwardSpec.xs_mode
+XS_MODE = os.environ.get("BENCH_XS_MODE", "taylor")
 
 
 def _log(msg: str) -> None:
@@ -51,7 +54,11 @@ def measure_tpu() -> float:
                                             run_mcmc)
     from mcmctoffitting_tpu.utils import data_io
 
-    spec = simult.default_spec(n_samples=N_DRAWS)
+    spec = simult.default_spec(n_samples=N_DRAWS, xs_mode=XS_MODE)
+    hist_chunk = int(os.environ.get("BENCH_HIST_CHUNK", "0"))
+    if hist_chunk:
+        import dataclasses
+        spec = dataclasses.replace(spec, histogram_chunk=hist_chunk)
     problem = simult.SimultFitProblem(spec, n_runs=N_RUNS)
     key = jax.random.PRNGKey(0)
     truth = np.concatenate([simult.GUESS_SHARED, np.full(N_RUNS, 5.0e4)])

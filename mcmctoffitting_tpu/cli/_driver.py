@@ -25,6 +25,11 @@ def posterior_fingerprint(problem, observed) -> np.ndarray:
     h.update(type(problem).__name__.encode())
     h.update(np.int64(problem.n_dim).tobytes())
     h.update(np.int64(problem.spec.n_samples).tobytes())
+    # likelihood-shaping modes (a stale log-prob under a different forward
+    # strategy or background model would bias acceptance on resume)
+    h.update(problem.spec.sampling.encode())
+    h.update(problem.spec.xs_mode.encode())
+    h.update(problem.spec.bg_mode.encode())
     for o in observed:
         h.update(np.ascontiguousarray(np.asarray(o, np.float64)).tobytes())
     return np.frombuffer(h.digest(), np.uint8).copy()

@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "fresh Poisson draw per eval (statistically clean; "
                         "default is the reference-faithful pseudo-marginal "
                         "draw, tests/csi_oneBD.py:521)")
+    p.add_argument("-e0grid", action="store_true",
+                   help="static e0-space preimage grid (fast MC path; "
+                        "sub-rint approximation, see ops/e0grid.py)")
+    p.add_argument("-expectedForward", action="store_true",
+                   help="closed-form expected forward model (the exact "
+                        "infinite-draw limit; no pseudo-marginal noise)")
     return p
 
 
@@ -84,7 +90,11 @@ def main(argv=None) -> dict:
     burnin_steps = 10 if args.debug else args.nBurninSteps
     main_steps = 10 if args.debug else args.nMainSteps
 
-    spec = onebd.default_spec(n_samples=n_draws, hardcore=args.hardcore)
+    spec = onebd.default_spec(
+        n_samples=n_draws, hardcore=args.hardcore,
+        xs_mode="e0grid" if (args.e0grid or args.expectedForward)
+        else "taylor",
+        sampling="expected" if args.expectedForward else "mc")
     if args.deterministicBG:
         spec = dataclasses.replace(spec, bg_mode="expected")
     problem = onebd.OneBDProblem(spec, n_runs=3)

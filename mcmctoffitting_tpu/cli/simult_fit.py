@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-resume", default="", type=str,
                    help="resume the MAIN phase from a .ckpt.npz checkpoint "
                         "(skips burn-in; exact continuation incl. PRNG)")
+    p.add_argument("-e0grid", action="store_true",
+                   help="static e0-space preimage grid (fast MC path; "
+                        "sub-rint approximation, see ops/e0grid.py)")
+    p.add_argument("-expectedForward", action="store_true",
+                   help="closed-form expected forward model (the exact "
+                        "infinite-draw limit; no pseudo-marginal noise)")
     return p
 
 
@@ -67,7 +73,11 @@ def main(argv=None) -> dict:
     main_steps = 10 if args.debug else args.nMainSteps
     n_draws = 5000 if args.debug else args.nDrawsPerEval
 
-    spec = simult.default_spec(n_samples=n_draws)
+    spec = simult.default_spec(
+        n_samples=n_draws,
+        xs_mode="e0grid" if (args.e0grid or args.expectedForward)
+        else "taylor",
+        sampling="expected" if args.expectedForward else "mc")
     problem = simult.SimultFitProblem(spec, n_runs=args.nRuns)
 
     if args.datafile:

@@ -117,6 +117,18 @@ class ForwardSpec:
     e0_grid_table: object = None
     # fine-cell count F for the e0grid build (used by model presets)
     e0_grid_fine: int = 1024
+    # forward-model integration strategy:
+    #   'mc' — Monte-Carlo draws per eval (reference-faithful
+    #     pseudo-marginal likelihood, fresh samples per lnlike,
+    #     tests/simultFit.py:386-388);
+    #   'expected' — closed-form lognormal partial moments
+    #     (ops/e0grid.expected_moments): the exact N->infinity limit of the
+    #     MC estimator — zero pseudo-marginal noise, ~4F transcendentals
+    #     per eval instead of per-sample work.  Requires xs_mode='e0grid'
+    #     and beam_source='lognorm'.  Statistically this is a *different
+    #     (cleaner) likelihood* the same way bg_mode='expected' is; the
+    #     faithful default stays 'mc'.
+    sampling: str = "mc"
     # dtype of the one-hot/moment-channel MXU contraction.  bf16 measured no
     # faster than f32 here (the contraction is not bandwidth-bound); if used,
     # the final weighted grid differs from f32 by <1e-5 relative (the
@@ -255,10 +267,46 @@ def _e0grid_weight_grid(spec: ForwardSpec, e_zeros):
 
     acc0 = jnp.zeros((4, n_fine), jnp.float32)
     moments, _ = jax.lax.scan(body, acc0, (e0_c, valid_c))
+    return _e0grid_contract(spec, moments)
+
+
+def _e0grid_contract(spec: ForwardSpec, moments):
+    """(4, F) fine-cell moments -> (M, Be) grid via the static A operator."""
+    tab = spec.e0_grid_table
     a = jnp.asarray(tab.a_matrix)                            # (4F, M*Be)
     grid = jnp.dot(moments.reshape(-1), a, precision="highest",
                    preferred_element_type=jnp.float32)
     return grid.reshape(tab.n_x, tab.n_ed)
+
+
+def grid_and_mean(spec: ForwardSpec, params, key):
+    """(XS-weighted grid incl. attenuation, e0 mean) for one run.
+
+    sampling='mc': draw -> moment/histogram pipeline (reference semantics).
+    sampling='expected': closed-form moments (ops/e0grid.expected_moments)
+    — no draws at all; ``key`` is unused.
+    """
+    if spec.sampling == "expected":
+        if spec.xs_mode != "e0grid" or spec.e0_grid_table is None:
+            raise ValueError("sampling='expected' requires xs_mode='e0grid'")
+        if spec.beam_source != "lognorm":
+            raise ValueError("sampling='expected' requires the lognorm "
+                             "beam source")
+        from ..ops.e0grid import expected_moments
+        truncated = spec.n_redraw_rounds != 0
+        moments, e0_mean = expected_moments(
+            spec.e0_grid_table, params[0], params[1], params[2], params[3],
+            spec.n_samples, truncated)
+        grid = _e0grid_contract(spec, moments)
+        if spec.cell_attenuation:
+            atten = jnp.asarray(
+                cell_attenuation_coeffs(spec.x_binning.centers),
+                dtype=grid.dtype)
+            grid = grid * atten[:, None]
+        return grid, e0_mean
+    e_zeros = sample_beam_energies(key, spec, params)
+    grid, _ = energy_weight_grid(spec, e_zeros)
+    return grid, jnp.mean(e_zeros)
 
 
 def energy_weight_grid(spec: ForwardSpec, e_zeros):
@@ -421,8 +469,7 @@ def tof_spectrum(key, params, spec: ForwardSpec, standoff: float,
     Returns: (n_bins,) spectrum, or (spectrum, grid, eN_at_x) tuple.
     """
     k_draw, k_bg = jax.random.split(key)
-    e_zeros = sample_beam_energies(k_draw, spec, params)
-    grid, _ = energy_weight_grid(spec, e_zeros)          # (M, Be)
+    grid, e0_mean = grid_and_mean(spec, params, k_draw)  # (M, Be)
 
     # normalize to a PDF over the (x, eD) area then convert to draw counts
     # (tests/simultFit.py:279-283)
@@ -432,7 +479,6 @@ def tof_spectrum(key, params, spec: ForwardSpec, standoff: float,
     if spec.rint_draws:
         draws = jnp.rint(draws)
 
-    e0_mean = jnp.mean(e_zeros)
     base_tof = cell_tof_lattice(spec, standoff, e0_mean)  # (M, Be)
 
     if spec.zero_degree == "segments":
@@ -491,12 +537,14 @@ def tof_spectra_multi(run_keys, params, spec: ForwardSpec,
         kd, kb = jax.random.split(run_keys[r])
         draw_keys.append(kd)
         bg_keys.append(kb)
-    if spec.run_axis == "sequential":
-        def one_run(k):
-            e = sample_beam_energies(k, spec, params)
-            grid, _ = energy_weight_grid(spec, e)
-            return grid, jnp.mean(e)
-        grids, e0_means = jax.lax.map(one_run, jnp.stack(draw_keys))
+    if spec.sampling == "expected":
+        # deterministic: every run shares ONE closed-form grid/mean
+        grid_1, mean_1 = grid_and_mean(spec, params, draw_keys[0])
+        grids = jnp.broadcast_to(grid_1, (n_runs,) + grid_1.shape)
+        e0_means = jnp.broadcast_to(mean_1, (n_runs,))
+    elif spec.run_axis == "sequential":
+        grids, e0_means = jax.lax.map(
+            lambda k: grid_and_mean(spec, params, k), jnp.stack(draw_keys))
     else:
         e_zeros = jax.vmap(lambda k: sample_beam_energies(
             k, spec, params))(jnp.stack(draw_keys))       # (R, N)

@@ -46,7 +46,8 @@ def _build_table(rho: float, x_binning_n: int) -> StoppingTable:
 
 def default_spec(n_samples: int = 200_000, *,
                  hardcore: bool = False,
-                 xs_mode: str = "taylor") -> ForwardSpec:
+                 xs_mode: str = "taylor",
+                 sampling: str = "mc") -> ForwardSpec:
     """oneBD forward spec; density 4x (2 atm run, tests/csi_oneBD.py:273).
 
     xs_mode='e0grid': static preimage factorization (ops/e0grid.py) — the
@@ -54,6 +55,8 @@ def default_spec(n_samples: int = 200_000, *,
     into one shared fine-grid moment pass.
     """
     rho = 4 * 8.565e-5
+    if sampling == "expected":
+        xs_mode = "e0grid"  # the closed-form moments ride the A operator
     ed_bins, x_bins = (400, 20) if hardcore else (100, 10)
     e0_grid_table = None
     e0_grid_fine = 2048 if hardcore else 1024
@@ -86,6 +89,7 @@ def default_spec(n_samples: int = 200_000, *,
         xs_mode=xs_mode,
         e0_grid_table=e0_grid_table,
         e0_grid_fine=e0_grid_fine,
+        sampling=sampling,
     )
 
 

@@ -56,7 +56,8 @@ def _build_table(rho: float) -> StoppingTable:
 
 def default_spec(n_samples: int = 200_000, *,
                  transport: str = "table",
-                 xs_mode: str = "taylor") -> ForwardSpec:
+                 xs_mode: str = "taylor",
+                 sampling: str = "mc") -> ForwardSpec:
     """Forward spec for the simultFit campaign.
 
     transport='table' (default): precomputed E(E0, x) spline table — the
@@ -71,6 +72,8 @@ def default_spec(n_samples: int = 200_000, *,
     fine-grid moment pass (requires transport='table').
     """
     rho = 8.565e-5
+    if sampling == "expected":
+        xs_mode = "e0grid"  # the closed-form moments ride the A operator
     e0_grid_table = None
     e0_grid_fine = 512
     if xs_mode == "e0grid":
@@ -107,6 +110,7 @@ def default_spec(n_samples: int = 200_000, *,
         xs_mode=xs_mode,
         e0_grid_table=e0_grid_table,
         e0_grid_fine=e0_grid_fine,
+        sampling=sampling,
     )
 
 

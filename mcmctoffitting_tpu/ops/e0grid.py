@@ -224,6 +224,92 @@ def cached_e0_grid_table(stopping_table, ed_binning, xs,
                                n_fine=n_fine)
 
 
+def expected_moments(table: E0GridTable, beam_e, e_loss, scale, s,
+                     n_samples: float, truncated: bool):
+    """CLOSED-FORM fine-cell moments under the lognormal beam density.
+
+    The MC forward model exists in the reference purely as a numerical
+    integrator: each lnlike re-draws e0 ~ beamE - lognorm(s, loc=eLoss,
+    scale) and histograms transported samples (``tests/simultFit.py:243-265``).
+    With the e0grid operator the per-sample statistics enter ONLY through
+    the per-fine-cell raw moments S_k = sum t^k — and the lognormal has
+    closed-form partial moments against polynomials:
+
+        E[W^j; w1 < W < w2] = exp(j^2 s^2 / 2)
+                              * (ndtr(ln(w2)/s - j s) - ndtr(ln(w1)/s - j s)),
+        W = exp(s Z),  Y = eLoss + scale W,  e0 = beamE - Y.
+
+    t = (e0 - t_ref)/t_scale is affine in W, so every S_k expands in the
+    P_j via the binomial theorem.  Cost: ~4 (F+1) ndtr evaluations per call
+    — independent of n_samples — replacing the entire per-sample pipeline.
+    This is the exact N -> infinity limit of the reference's estimator
+    (the pseudo-marginal noise goes to zero; see ForwardSpec.sampling).
+
+    ``truncated``: condition on e0 > 0 (the reference's
+    redraw-until-positive loop, ``tests/simultFit.py:245-252``); False
+    mirrors the oneBD driver that disabled the loop
+    (``tests/csi_oneBD.py:440-447``) — negative-e0 mass simply falls
+    outside every fine cell, as it falls outside the histogram range there.
+
+    Returns (S, e0_mean): S is (4, F) expected moments scaled to
+    ``n_samples`` draws; e0_mean is the matching expected draw mean.
+    """
+    import jax.numpy as jnp
+    from jax.scipy.special import ndtr
+
+    f = table.n_fine
+    edges = table.e0_lo + (table.e0_hi - table.e0_lo) / f * np.arange(f + 1)
+    edges = jnp.asarray(edges, jnp.float32)               # (F+1,) ascending
+
+    # guard degenerate traced parameters like ops.pdfs.beam_energy_rvs
+    valid = (scale > 0.0) & (s > 0.0)
+    safe_scale = jnp.where(scale > 0.0, scale, 1.0)
+    safe_s = jnp.where(s > 0.0, s, 1.0)
+
+    # e0 cell [a, b] -> W interval [w_lo, w_hi] (map is decreasing in W)
+    w_of = lambda e0: (beam_e - e0 - e_loss) / safe_scale
+    w_hi = w_of(edges[:-1])                               # (F+1-1,) per cell
+    w_lo = w_of(edges[1:])
+    if truncated:
+        # condition on e0 > 0  <=>  W < w_max
+        w_max = w_of(0.0)
+        w_lo = jnp.minimum(w_lo, w_max)
+        w_hi = jnp.minimum(w_hi, w_max)
+
+    def partial(j, lo, hi):
+        """E[W^j; lo < W < hi] (0 where the interval is empty/negative)."""
+        lo_c = jnp.maximum(lo, 1e-30)
+        hi_c = jnp.maximum(hi, 1e-30)
+        amt = (ndtr(jnp.log(hi_c) / safe_s - j * safe_s)
+               - ndtr(jnp.log(lo_c) / safe_s - j * safe_s))
+        return jnp.exp(0.5 * j * j * safe_s * safe_s) * jnp.maximum(amt, 0.0)
+
+    p = [partial(j, w_lo, w_hi) for j in range(4)]        # each (F,)
+
+    # t = A - B W with A = (beamE - t_ref - eLoss)/t_scale, B = scale/t_scale
+    a_c = (beam_e - table.t_ref - e_loss) / table.t_scale
+    b_c = safe_scale / table.t_scale
+    s0 = p[0]
+    s1 = a_c * p[0] - b_c * p[1]
+    s2 = a_c * a_c * p[0] - 2.0 * a_c * b_c * p[1] + b_c * b_c * p[2]
+    s3 = (a_c ** 3 * p[0] - 3.0 * a_c * a_c * b_c * p[1]
+          + 3.0 * a_c * b_c * b_c * p[2] - b_c ** 3 * p[3])
+    moments = jnp.stack([s0, s1, s2, s3])                 # (4, F)
+
+    if truncated:
+        w_max = w_of(0.0)
+        norm = partial(0, jnp.zeros(()), w_max)
+        mean_w = partial(1, jnp.zeros(()), w_max)
+        norm = jnp.where(valid & (norm > 0), norm, 1.0)
+    else:
+        norm = jnp.asarray(1.0)
+        mean_w = jnp.exp(0.5 * safe_s * safe_s)
+
+    moments = jnp.where(valid, moments * (n_samples / norm), 0.0)
+    e0_mean = beam_e - e_loss - safe_scale * mean_w / norm
+    return moments, e0_mean
+
+
 def e0grid_moments_np(table: E0GridTable, e0):
     """Host f64 reference of the device moment accumulation (for tests)."""
     e0 = np.asarray(e0, dtype=np.float64)

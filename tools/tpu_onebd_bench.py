@@ -45,8 +45,26 @@ def main():
         label = "hardcore"
     n_walkers = _arg("--walkers", 256)
     n_steps = _arg("--steps", 5 if hardcore else 10)
+    xs_mode = "e0grid" if "--e0grid" in sys.argv else "taylor"
+    if xs_mode == "e0grid":
+        label += "+e0grid"
 
-    spec = onebd.default_spec(n_samples=n_draws, hardcore=hardcore)
+    spec = onebd.default_spec(n_samples=n_draws, hardcore=hardcore,
+                              xs_mode=xs_mode)
+    if "--fine" in sys.argv or "--hchunk" in sys.argv:
+        import dataclasses
+        from mcmctoffitting_tpu.ops.e0grid import cached_e0_grid_table
+        from mcmctoffitting_tpu.ops.xs import ddn_xs_uniform
+        fine = _arg("--fine", spec.e0_grid_fine)
+        hchunk = _arg("--hchunk", spec.histogram_chunk)
+        tab = spec.e0_grid_table
+        if xs_mode == "e0grid" and fine != spec.e0_grid_fine:
+            tab = cached_e0_grid_table(spec.stopping_table, spec.ed_binning,
+                                       ddn_xs_uniform, fine)
+        spec = dataclasses.replace(spec, e0_grid_fine=fine,
+                                   e0_grid_table=tab,
+                                   histogram_chunk=hchunk)
+        label += f"(F={fine},hc={hchunk})"
     problem = onebd.OneBDProblem(spec, n_runs=3)
     key = jax.random.PRNGKey(0)
     truth = np.array([1300.0, 80.0, 0.6, 5e4, 5e4, 5e4, 20.0, 20.0, 20.0])
