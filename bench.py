@@ -30,9 +30,11 @@ N_STEPS_MEASURE = 10
 # 64 measured best on v5e with the sequential run axis (667.6 vs 643.1
 # walker-steps/s at 32; tools/tpu_ablate*.py)
 WALKER_CHUNK = int(os.environ.get("BENCH_WALKER_CHUNK", "64"))
-# forward-model grid strategy A/B knob ('taylor' | 'e0grid'); see
-# ForwardSpec.xs_mode
-XS_MODE = os.environ.get("BENCH_XS_MODE", "taylor")
+# forward-model grid strategy A/B knob ('e0grid' default | 'taylor'
+# literal path); see ForwardSpec.xs_mode
+XS_MODE = os.environ.get("BENCH_XS_MODE", "e0grid")
+# 'mc' (faithful pseudo-marginal default) | 'expected' (closed-form limit)
+SAMPLING = os.environ.get("BENCH_SAMPLING", "mc")
 
 
 def _log(msg: str) -> None:
@@ -54,7 +56,8 @@ def measure_tpu() -> float:
                                             run_mcmc)
     from mcmctoffitting_tpu.utils import data_io
 
-    spec = simult.default_spec(n_samples=N_DRAWS, xs_mode=XS_MODE)
+    spec = simult.default_spec(n_samples=N_DRAWS, xs_mode=XS_MODE,
+                               sampling=SAMPLING)
     hist_chunk = int(os.environ.get("BENCH_HIST_CHUNK", "0"))
     if hist_chunk:
         import dataclasses
@@ -76,49 +79,67 @@ def measure_tpu() -> float:
     # one jitted program for the whole measurement segment; lower+compile
     # explicitly so the FLOP count (for MFU) comes from the exact program
     # being timed
-    run = jax.jit(lambda s: run_mcmc(s, N_STEPS_MEASURE, logp_batch))
+    def segment(s):
+        chain = run_mcmc(s, N_STEPS_MEASURE, logp_batch)
+        return chain.positions, chain.state  # pytree outputs only
+
+    run = jax.jit(segment)
     _log("bench: compiling the segment program")
     compiled = run.lower(state).compile()
-    flops = _program_flops(compiled)
+    flops = analytic_flops_per_walker_step(spec, N_RUNS) \
+        * N_STEPS_MEASURE * N_WALKERS
 
     _log("bench: warm-up segment")
-    chain = compiled(state)
-    jax.block_until_ready(chain.positions)
-    state = chain.state
+    positions, state = compiled(state)
+    jax.block_until_ready(positions)
 
     _log("bench: measuring (best of 2 segments)")
     best_dt = float("inf")
     for rep in range(2):
         t0 = time.perf_counter()
-        chain = compiled(state)
-        jax.block_until_ready(chain.positions)
+        positions, state = compiled(state)
+        jax.block_until_ready(positions)
         dt = time.perf_counter() - t0
-        state = chain.state
         _log(f"bench: segment {rep}: {N_STEPS_MEASURE} steps in {dt:.2f}s")
         best_dt = min(best_dt, dt)
 
-    mfu = None
-    if flops:
-        # v5e peak: 197 TFLOP/s bf16 (394 int8); f32 work on the MXU runs
-        # at a fraction of that, so bf16 peak is the conservative
-        # denominator used throughout the scaling literature
-        mfu = flops / best_dt / 197e12
-        _log(f"bench: {flops / 1e12:.2f} TFLOP per {N_STEPS_MEASURE}-step "
-             f"segment -> {flops / best_dt / 1e12:.2f} TFLOP/s "
-             f"({100 * mfu:.2f}% of v5e bf16 peak)")
+    # v5e peak: 197 TFLOP/s bf16 (394 int8); f32 work on the MXU runs at a
+    # fraction of that, so bf16 peak is the conservative denominator
+    mfu = flops / best_dt / 197e12
+    _log(f"bench: {flops / 1e12:.2f} TFLOP per {N_STEPS_MEASURE}-step "
+         f"segment (analytic) -> {flops / best_dt / 1e12:.2f} TFLOP/s "
+         f"({100 * mfu:.2f}% of v5e bf16 peak)")
     return N_STEPS_MEASURE * N_WALKERS / best_dt, mfu
 
 
-def _program_flops(compiled) -> float | None:
-    """Total FLOPs of the compiled segment per XLA's cost analysis."""
-    try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        return float(ca["flops"])
-    except Exception as e:
-        _log(f"bench: cost analysis unavailable ({type(e).__name__}: {e})")
-        return None
+def analytic_flops_per_walker_step(spec, n_runs: int) -> float:
+    """Dominant-term FLOP count for ONE lnprob eval (documented lower bound).
+
+    XLA's compiled cost analysis does not see through ``lax.scan``/``map``
+    bodies (it reported ~1 GFLOP for a segment that is ~10 TFLOP), so MFU is
+    derived from an explicit operation count of the hot stages instead.
+    Conventions: one VPU compare/select/mul = 1 flop; one MXU MAC = 2 flops;
+    the beam draw's uniform->ndtri->exp chain ~= 60 flops/sample.  The TOF
+    lattice/window-histogram/convolution stages (O(M*Be) per walker) are
+    omitted — they are ~1000x smaller than the per-sample stages.
+    """
+    n = spec.n_samples
+    m = spec.x_binning.n
+    be = spec.ed_binning.n
+    draw = 60.0 * n
+    if spec.sampling == "expected":
+        f = spec.e0_grid_fine
+        return n_runs * (30.0 * 4 * f + 2.0 * 4 * f * m * be)
+    if spec.xs_mode == "e0grid":
+        f = spec.e0_grid_fine
+        per_sample = 12 + f + 2 * 4 * f      # index/channels, one-hot, dot
+        return n_runs * (draw + n * per_sample + 2.0 * 4 * f * m * be)
+    # taylor + table transport
+    g = (spec.stopping_table.e0_grid.shape[0] - 1
+         if spec.stopping_table is not None else 40 * spec.rk4_substeps)
+    transport = g + 2 * g * 4 * m + 8 * m    # one-hot, coeff dot, Horner
+    moments = m * (10 + be + 2 * 4 * be)     # per-slice one-hot + moment dot
+    return n_runs * (draw + n * (12 + transport + moments))
 
 
 def reference_baseline() -> float | None:

@@ -54,9 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "fresh Poisson draw per eval (statistically clean; "
                         "default is the reference-faithful pseudo-marginal "
                         "draw, tests/csi_oneBD.py:521)")
-    p.add_argument("-e0grid", action="store_true",
-                   help="static e0-space preimage grid (fast MC path; "
-                        "sub-rint approximation, see ops/e0grid.py)")
+    p.add_argument("-gridMode", choices=["e0grid", "taylor"],
+                   default="e0grid",
+                   help="e0grid (default): static e0-space preimage grid "
+                        "(fast; sub-rint approximation, ops/e0grid.py); "
+                        "taylor: per-sample transport + per-slice moments")
     p.add_argument("-expectedForward", action="store_true",
                    help="closed-form expected forward model (the exact "
                         "infinite-draw limit; no pseudo-marginal noise)")
@@ -92,8 +94,7 @@ def main(argv=None) -> dict:
 
     spec = onebd.default_spec(
         n_samples=n_draws, hardcore=args.hardcore,
-        xs_mode="e0grid" if (args.e0grid or args.expectedForward)
-        else "taylor",
+        xs_mode="e0grid" if args.expectedForward else args.gridMode,
         sampling="expected" if args.expectedForward else "mc")
     if args.deterministicBG:
         spec = dataclasses.replace(spec, bg_mode="expected")

@@ -45,9 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-resume", default="", type=str,
                    help="resume the MAIN phase from a .ckpt.npz checkpoint "
                         "(skips burn-in; exact continuation incl. PRNG)")
-    p.add_argument("-e0grid", action="store_true",
-                   help="static e0-space preimage grid (fast MC path; "
-                        "sub-rint approximation, see ops/e0grid.py)")
+    p.add_argument("-gridMode", choices=["e0grid", "taylor"],
+                   default="e0grid",
+                   help="e0grid (default): static e0-space preimage grid "
+                        "(fast; sub-rint approximation, ops/e0grid.py); "
+                        "taylor: per-sample transport + per-slice moments")
     p.add_argument("-expectedForward", action="store_true",
                    help="closed-form expected forward model (the exact "
                         "infinite-draw limit; no pseudo-marginal noise)")
@@ -75,8 +77,7 @@ def main(argv=None) -> dict:
 
     spec = simult.default_spec(
         n_samples=n_draws,
-        xs_mode="e0grid" if (args.e0grid or args.expectedForward)
-        else "taylor",
+        xs_mode="e0grid" if args.expectedForward else args.gridMode,
         sampling="expected" if args.expectedForward else "mc")
     problem = simult.SimultFitProblem(spec, n_runs=args.nRuns)
 

@@ -46,7 +46,7 @@ def _build_table(rho: float, x_binning_n: int) -> StoppingTable:
 
 def default_spec(n_samples: int = 200_000, *,
                  hardcore: bool = False,
-                 xs_mode: str = "taylor",
+                 xs_mode: str = "e0grid",
                  sampling: str = "mc") -> ForwardSpec:
     """oneBD forward spec; density 4x (2 atm run, tests/csi_oneBD.py:273).
 

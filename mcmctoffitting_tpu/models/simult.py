@@ -56,7 +56,7 @@ def _build_table(rho: float) -> StoppingTable:
 
 def default_spec(n_samples: int = 200_000, *,
                  transport: str = "table",
-                 xs_mode: str = "taylor",
+                 xs_mode: str = "e0grid",
                  sampling: str = "mc") -> ForwardSpec:
     """Forward spec for the simultFit campaign.
 
@@ -76,9 +76,9 @@ def default_spec(n_samples: int = 200_000, *,
         xs_mode = "e0grid"  # the closed-form moments ride the A operator
     e0_grid_table = None
     e0_grid_fine = 512
+    if xs_mode == "e0grid" and transport != "table":
+        xs_mode = "taylor"  # the e0grid preimages invert the stopping table
     if xs_mode == "e0grid":
-        if transport != "table":
-            raise ValueError("xs_mode='e0grid' requires transport='table'")
         from ..ops.e0grid import cached_e0_grid_table
         from ..ops.xs import ddn_xs_uniform
         e0_grid_table = cached_e0_grid_table(

@@ -45,9 +45,9 @@ def main():
         label = "hardcore"
     n_walkers = _arg("--walkers", 256)
     n_steps = _arg("--steps", 5 if hardcore else 10)
-    xs_mode = "e0grid" if "--e0grid" in sys.argv else "taylor"
-    if xs_mode == "e0grid":
-        label += "+e0grid"
+    xs_mode = "taylor" if "--taylor" in sys.argv else "e0grid"
+    if xs_mode == "taylor":
+        label += "+taylor"
 
     spec = onebd.default_spec(n_samples=n_draws, hardcore=hardcore,
                               xs_mode=xs_mode)
@@ -80,20 +80,27 @@ def main():
           f"{n_steps}-step segments", file=sys.stderr, flush=True)
     state = init_state(jax.random.fold_in(key, 2), p0, logp_batch)
     jax.block_until_ready(state.log_probs)
+
+    # jit + explicitly compile the whole segment: an eager lax.scan
+    # re-traces its body on every call, which understated all round-1/2
+    # eager-mode numbers by up to ~2x of host tracing time
+    def segment(s):
+        chain = run_mcmc(s, n_steps, logp_batch)
+        return chain.positions, chain.state
+
     t0 = time.perf_counter()
-    chain = run_mcmc(state, n_steps, logp_batch)
-    jax.block_until_ready(chain.positions)
+    compiled = jax.jit(segment).lower(state).compile()
+    positions, state = compiled(state)
+    jax.block_until_ready(positions)
     print(f"warm-up (incl. compile): {time.perf_counter()-t0:.1f}s",
           file=sys.stderr, flush=True)
-    state = chain.state
 
     best_dt = float("inf")
     for rep in range(2):
         t0 = time.perf_counter()
-        chain = run_mcmc(state, n_steps, logp_batch)
-        jax.block_until_ready(chain.positions)
+        positions, state = compiled(state)
+        jax.block_until_ready(positions)
         dt = time.perf_counter() - t0
-        state = chain.state
         print(f"segment {rep}: {n_steps} steps in {dt:.2f}s",
               file=sys.stderr, flush=True)
         best_dt = min(best_dt, dt)
