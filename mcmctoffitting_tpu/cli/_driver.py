@@ -68,8 +68,25 @@ def run_phases(state, phases, logp_batch, *, n_walkers: int, segment: int,
 
     Returns (final_state, total_steps, elapsed_s).
     """
+    import jax
+
     from ..sampler import run_mcmc
     from ..utils import chain_io
+
+    # jit one program per distinct segment length (an eager lax.scan
+    # re-traces its body on EVERY call — 1-2 s of host time per segment on
+    # the big models, measured in RESULTS_r2.md)
+    jitted = {}
+
+    def run_segment(s, seg):
+        fn = jitted.get(seg)
+        if fn is None:
+            def segment_fn(st):
+                ch = run_mcmc(st, seg, logp_batch)
+                return ch.positions, ch.log_probs, ch.state
+            fn = jax.jit(segment_fn)
+            jitted[seg] = fn
+        return fn(s)
 
     extra = None if fingerprint is None else {"posterior_fp": fingerprint}
     t0 = time.time()
@@ -80,10 +97,9 @@ def run_phases(state, phases, logp_batch, *, n_walkers: int, segment: int,
         done = 0
         while done < n_steps:
             seg = min(segment, n_steps - done)
-            chain = run_mcmc(state, seg, logp_batch)
-            state = chain.state
-            chain_io.append_chain_text(path, np.asarray(chain.positions),
-                                       np.asarray(chain.log_probs))
+            positions, log_probs, state = run_segment(state, seg)
+            chain_io.append_chain_text(path, np.asarray(positions),
+                                       np.asarray(log_probs))
             done += seg
             total_steps += seg
             rate = total_steps * n_walkers / (time.time() - t0)
