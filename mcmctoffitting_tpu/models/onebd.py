@@ -59,7 +59,10 @@ def default_spec(n_samples: int = 200_000, *,
         xs_mode = "e0grid"  # the closed-form moments ride the A operator
     ed_bins, x_bins = (400, 20) if hardcore else (100, 10)
     e0_grid_table = None
-    e0_grid_fine = 2048 if hardcore else 1024
+    # default F=512: boundary-split error stays noise-dominated (see
+    # tests/test_e0grid.py); hardcore keeps 2048 (5 keV eD bins -> ~1 keV
+    # preimage cells need the resolution)
+    e0_grid_fine = 2048 if hardcore else 512
     if xs_mode == "e0grid":
         from ..ops.e0grid import cached_e0_grid_table
         from ..ops.xs import ddn_xs_uniform

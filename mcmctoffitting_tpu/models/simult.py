@@ -75,7 +75,10 @@ def default_spec(n_samples: int = 200_000, *,
     if sampling == "expected":
         xs_mode = "e0grid"  # the closed-form moments ride the A operator
     e0_grid_table = None
-    e0_grid_fine = 512
+    # F=256 measured: max per-cell error 8.7% of the bin's own MC noise at
+    # the 200k-draw default (the ratio is N-independent), 17% faster than
+    # F=512 (the moment dot is F-proportional); tools/tpu_e0grid_stages.py
+    e0_grid_fine = 256
     if xs_mode == "e0grid" and transport != "table":
         xs_mode = "taylor"  # the e0grid preimages invert the stopping table
     if xs_mode == "e0grid":

@@ -34,6 +34,16 @@ def test_fingerprint_sensitivity():
     # different nDrawsPerEval -> different digest
     problem2, _, _ = _setup(n_samples=2000)
     assert not np.array_equal(fp, posterior_fingerprint(problem2, observed))
+    # different likelihood-shaping modes -> different digest (a taylor-era
+    # checkpoint resumed under e0grid/expected must re-evaluate log-probs)
+    import dataclasses
+    for change in ({"xs_mode": "taylor", "e0_grid_table": None},
+                   {"sampling": "expected"},
+                   {"bg_mode": "expected"}):
+        spec2 = dataclasses.replace(problem.spec, **change)
+        problem3 = dataclasses.replace(problem, spec=spec2)
+        assert not np.array_equal(
+            fp, posterior_fingerprint(problem3, observed)), change
 
 
 def test_resume_matching_fingerprint_is_exact(tmp_path):
