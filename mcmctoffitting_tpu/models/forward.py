@@ -217,6 +217,35 @@ def _taylor_coeffs(spec: ForwardSpec) -> np.ndarray:
                      (1.0 / 6.0) * s3 * w ** 3])
 
 
+def _chunk_with_mask(values, chunk_size: int, fill: float):
+    """Pad a (N,) sample vector to a whole number of chunks.
+
+    Returns ((n_chunks, chunk) values, (n_chunks, chunk) validity mask).
+    Padded slots carry ``fill`` and mask 0 — the mask is the authoritative
+    exclusion; fill values must still be finite so downstream arithmetic
+    stays NaN-free.
+    """
+    n = values.shape[-1]
+    chunk = min(chunk_size, n)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    v = jnp.asarray(values, jnp.float32)
+    valid = jnp.ones_like(v)
+    if pad:
+        v = jnp.concatenate([v, jnp.full((pad,), fill, v.dtype)], axis=-1)
+        valid = jnp.concatenate(
+            [valid, jnp.zeros((pad,), valid.dtype)], axis=-1)
+    return v.reshape(n_chunks, chunk), valid.reshape(n_chunks, chunk)
+
+
+def _apply_attenuation(spec: ForwardSpec, grid):
+    """Multiply per-x-slice exp(-x/20cm) beam attenuation (oneBD,
+    ``initialization.py:39-43``)."""
+    atten = jnp.asarray(cell_attenuation_coeffs(spec.x_binning.centers),
+                        dtype=grid.dtype)
+    return grid * atten[:, None]
+
+
 def _e0grid_weight_grid(spec: ForwardSpec, e_zeros):
     """xs_mode='e0grid' hot path (see ops/e0grid.py for the construction).
 
@@ -226,21 +255,10 @@ def _e0grid_weight_grid(spec: ForwardSpec, e_zeros):
     per-slice one-hots, no gathers.
     """
     tab = spec.e0_grid_table
-    n = e_zeros.shape[-1]
-    chunk = min(spec.histogram_chunk, n)
-    n_chunks = -(-n // chunk)
-    pad = n_chunks * chunk - n
-    e0 = jnp.asarray(e_zeros, jnp.float32)
-    valid = jnp.ones_like(e0)
-    if pad:
-        # padding value sits below e0_lo -> masked by in_range anyway, but
-        # keep the explicit valid mask for clarity/robustness
-        e0 = jnp.concatenate(
-            [e0, jnp.full((pad,), tab.e0_lo, e0.dtype)], axis=-1)
-        valid = jnp.concatenate(
-            [valid, jnp.zeros((pad,), valid.dtype)], axis=-1)
-    e0_c = e0.reshape(n_chunks, chunk)
-    valid_c = valid.reshape(n_chunks, chunk)
+    # fill sits strictly below e0_lo so padded slots ALSO fail in_range;
+    # the valid mask remains the authoritative exclusion either way
+    e0_c, valid_c = _chunk_with_mask(e_zeros, spec.histogram_chunk,
+                                     tab.e0_lo - 1.0)
 
     n_fine = tab.n_fine
     cells = jnp.arange(n_fine, dtype=jnp.int32)
@@ -299,11 +317,11 @@ def grid_and_mean(spec: ForwardSpec, params, key):
             spec.n_samples, truncated)
         grid = _e0grid_contract(spec, moments)
         if spec.cell_attenuation:
-            atten = jnp.asarray(
-                cell_attenuation_coeffs(spec.x_binning.centers),
-                dtype=grid.dtype)
-            grid = grid * atten[:, None]
+            grid = _apply_attenuation(spec, grid)
         return grid, e0_mean
+    if spec.sampling != "mc":
+        raise ValueError(f"unknown sampling mode {spec.sampling!r} "
+                         "(expected 'mc' or 'expected')")
     e_zeros = sample_beam_energies(key, spec, params)
     grid, _ = energy_weight_grid(spec, e_zeros)
     return grid, jnp.mean(e_zeros)
@@ -328,9 +346,7 @@ def energy_weight_grid(spec: ForwardSpec, e_zeros):
     eb = spec.ed_binning
 
     if spec.xs_mode == "e0grid":
-        if spec.e0_grid_table is None:
-            raise ValueError("xs_mode='e0grid' requires e0_grid_table "
-                             "(ops.e0grid.build_e0_grid_table)")
+        _validate_e0grid_table(spec)
         grid = _e0grid_weight_grid(spec, e_zeros)
         e_at_x = None
     elif (spec.xs_mode == "taylor" and hasattr(spec.xs, "eval_np")
@@ -344,20 +360,8 @@ def energy_weight_grid(spec: ForwardSpec, e_zeros):
         grid = jnp.sum(moments * jnp.asarray(taylor, jnp.float32), axis=-2)
         e_at_x = None
     elif spec.xs_mode == "taylor" and hasattr(spec.xs, "eval_np"):
-        n = e_zeros.shape[-1]
-        chunk = min(spec.histogram_chunk, n)
-        n_chunks = -(-n // chunk)
-        pad = n_chunks * chunk - n
-        e0 = jnp.asarray(e_zeros, jnp.float32)
-        valid = jnp.ones_like(e0)
-        if pad:
-            e0 = jnp.concatenate(
-                [e0, jnp.full((pad,), eb.lo, e0.dtype)], axis=-1)
-            valid = jnp.concatenate(
-                [valid, jnp.zeros((pad,), valid.dtype)], axis=-1)
-        e0_c = e0.reshape(n_chunks, chunk)
-        valid_c = valid.reshape(n_chunks, chunk)
-
+        e0_c, valid_c = _chunk_with_mask(e_zeros, spec.histogram_chunk,
+                                         eb.lo)
         bins = jnp.arange(eb.n, dtype=jnp.int32)
         inv_width = eb.n / (eb.hi - eb.lo)
         n_x = spec.x_binning.n
@@ -419,10 +423,33 @@ def energy_weight_grid(spec: ForwardSpec, e_zeros):
                                   chunk=spec.histogram_chunk)  # (M, Be)
 
     if spec.cell_attenuation:
-        atten = jnp.asarray(cell_attenuation_coeffs(spec.x_binning.centers),
-                            dtype=grid.dtype)
-        grid = grid * atten[:, None]
+        grid = _apply_attenuation(spec, grid)
     return grid, e_at_x
+
+
+def _validate_e0grid_table(spec: ForwardSpec) -> None:
+    """Reject a spec whose e0_grid_table was compiled for other binnings.
+
+    The A operator bakes in the stopping-table preimages and eD bin edges;
+    a mismatched table with coincidentally matching SHAPES would silently
+    attribute every bin's weight to shifted energies.
+    """
+    tab = spec.e0_grid_table
+    if tab is None:
+        raise ValueError("xs_mode='e0grid' requires e0_grid_table "
+                         "(ops.e0grid.build_e0_grid_table)")
+    if spec.transport != "table":
+        raise ValueError("xs_mode='e0grid' requires transport='table' "
+                         "(the preimages invert the stopping table)")
+    eb, xb = spec.ed_binning, spec.x_binning
+    if (tab.n_x != xb.n or tab.n_ed != eb.n
+            or getattr(tab, "ed_lo", eb.lo) != eb.lo
+            or getattr(tab, "ed_hi", eb.hi) != eb.hi):
+        raise ValueError(
+            f"e0_grid_table was built for a ({tab.n_x} x, {tab.n_ed} eD, "
+            f"[{getattr(tab, 'ed_lo', '?')}, {getattr(tab, 'ed_hi', '?')}] "
+            f"keV) grid; spec has ({xb.n} x, {eb.n} eD, "
+            f"[{eb.lo}, {eb.hi}] keV)")
 
 
 def cell_tof_lattice(spec: ForwardSpec, standoff: float, e0_mean):

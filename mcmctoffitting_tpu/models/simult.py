@@ -73,6 +73,10 @@ def default_spec(n_samples: int = 200_000, *,
     """
     rho = 8.565e-5
     if sampling == "expected":
+        if transport != "table":
+            raise ValueError("sampling='expected' requires "
+                             "transport='table' (the closed-form moments "
+                             "ride the e0grid preimage operator)")
         xs_mode = "e0grid"  # the closed-form moments ride the A operator
     e0_grid_table = None
     # F=256 measured: max per-cell error 8.7% of the bin's own MC noise at

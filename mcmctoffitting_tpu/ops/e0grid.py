@@ -59,14 +59,17 @@ def _eval_table_np(table, e0):
 class E0GridTable:
     """Static e0-space grid operator: fine-cell moments -> (M, Be) grid.
 
-    ``e0_lo``/``cell_w``: fine grid geometry (F uniform cells).
+    ``e0_lo``/``e0_hi``/``n_fine``: the uniform fine grid (F cells) whose
+    per-cell raw t-moments the device accumulates.
     ``t_ref``/``t_scale``: global normalization t = (e0 - t_ref) / t_scale
     (keeps moment magnitudes O(1) so the f32 accumulation stays accurate).
-    ``a_matrix``: (4*F, M*Be) f32, k-major rows (channel k of cell f at row
-    4*? no: row f*4+k? see layout note) mapping stacked moments to the grid.
-
-    Layout: moments on device are (4, F) with channel-major flattening
-    (k * F + f), matching ``a_matrix`` rows.
+    ``a_matrix``: (4*F, M*Be) f32 operator.  Row layout is CHANNEL-MAJOR:
+    channel k of fine cell f lives at row ``k * F + f`` — exactly the
+    row-major flattening of the device's (4, F) moment array, so
+    ``grid = moments.reshape(4*F) @ a_matrix``.  Column layout is
+    ``m * Be + b`` (x-slice-major).
+    ``ed_lo``/``ed_hi``: the eD histogram range the operator was compiled
+    for (validated against the spec at trace time).
     """
 
     e0_lo: float
@@ -77,13 +80,15 @@ class E0GridTable:
     a_matrix: np.ndarray      # (4 * F, M * Be) f32
     n_x: int
     n_ed: int
+    ed_lo: float = 0.0
+    ed_hi: float = 0.0
 
     def __post_init__(self):
         object.__setattr__(
             self, "_hash",
             hash((self.e0_lo, self.e0_hi, self.n_fine, self.t_ref,
-                  self.t_scale, self.n_x, self.n_ed,
-                  self.a_matrix.tobytes())))
+                  self.t_scale, self.n_x, self.n_ed, self.ed_lo,
+                  self.ed_hi, self.a_matrix.tobytes())))
 
     def __hash__(self):
         return self._hash
@@ -213,7 +218,8 @@ def build_e0_grid_table(stopping_table, ed_binning, xs,
                 a_mat[1, f, m, b] += beta
 
     a_flat = a_mat.reshape(4 * n_fine, n_x * n_ed).astype(np.float32)
-    return E0GridTable(lo, hi, n_fine, t_ref, t_scale, a_flat, n_x, n_ed)
+    return E0GridTable(lo, hi, n_fine, t_ref, t_scale, a_flat, n_x, n_ed,
+                       float(eb.lo), float(eb.hi))
 
 
 @functools.lru_cache(maxsize=8)

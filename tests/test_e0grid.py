@@ -114,6 +114,22 @@ def test_device_onebd_attenuation_applied():
     assert rel.max() < 5e-3
 
 
+def test_mismatched_table_rejected():
+    """A table compiled for other binnings must be rejected even when the
+    SHAPES coincidentally match (it would silently shift every energy)."""
+    import dataclasses
+    spec = simult.default_spec(n_samples=1000, xs_mode="e0grid")
+    shifted = dataclasses.replace(
+        spec, ed_binning=dataclasses.replace(spec.ed_binning,
+                                             lo=spec.ed_binning.lo + 100.0,
+                                             hi=spec.ed_binning.hi + 100.0))
+    with pytest.raises(ValueError, match="built for"):
+        energy_weight_grid(shifted, np.zeros(8, np.float32))
+    stripped = dataclasses.replace(spec, e0_grid_table=None)
+    with pytest.raises(ValueError, match="requires e0_grid_table"):
+        energy_weight_grid(stripped, np.zeros(8, np.float32))
+
+
 @pytest.mark.parametrize("preset", ["simult", "onebd"])
 def test_forward_spectrum_equivalence(preset):
     """Full tof_spectrum: e0grid vs the production taylor path."""
