@@ -8,11 +8,12 @@ stochastic and non-differentiable in the pseudo-marginal sense, so the
 ensemble samplers remain the workhorse; HMC applies to the deterministic
 models (shifting-Gaussian, template fits) where JAX gradients are exact.
 
-Design: static leapfrog trajectories under ``lax.scan`` (NUTS's dynamic
-tree is replaced by jittered trajectory lengths — compiler-friendly and,
-per Neal, statistically comparable), dual-averaging step-size adaptation
-toward a target acceptance rate during warm-up, identity mass matrix with
-optional diagonal estimate from warm-up samples.
+Design: static leapfrog trajectories under ``lax.scan`` with jittered
+trajectory lengths (per Neal, statistically comparable to dynamic
+termination on well-conditioned targets), dual-averaging step-size
+adaptation toward a target acceptance rate during warm-up, identity mass
+matrix.  A true dynamic-termination NUTS lives in ``sampler/nuts.py``;
+this HMC remains the cheaper fixed-shape option.
 """
 from __future__ import annotations
 
