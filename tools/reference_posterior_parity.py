@@ -1,0 +1,311 @@
+"""Posterior parity study: reference physics + emcee-equivalent sampler
+vs this package, on IDENTICAL observed data (BASELINE.md protocol:
+"report ... posterior parity against those locally-generated chains").
+
+Reference side: lnprob orchestrated from the REFERENCE'S OWN kernels
+imported from /root/reference (exactly as tools/measure_reference_baseline
+does, = tests/simultFit.py:223-300,380-469 incl. per-run scale factors and
+the box prior), sampled with the independent numpy Goodman-Weare stretch
+sampler (same algorithm/constants as emcee; emcee itself is not installed
+— parity of that implementation is pinned by tests/test_sampler_parity).
+
+Our side: the flagship SimultFitProblem at the same draw count, walkers
+and steps, on whatever jax backend is active.
+
+Usage:
+  python tools/reference_posterior_parity.py prepare   # synth shared data
+  python tools/reference_posterior_parity.py reference # CPU, ~30-60 min
+  python tools/reference_posterior_parity.py ours      # TPU/CPU, fast
+  python tools/reference_posterior_parity.py report
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+OUT = os.path.join(REPO, "out", "parity")
+
+N_RUNS = 4
+N_DRAWS = 10_000
+N_WALKERS = 18
+N_BURNIN = 40
+N_MAIN = 160
+TRUTH = np.array([1878.4, 850.0, 170.0, 0.5, 5e4, 5e4, 5e4, 5e4])
+PARAM_NAMES = ["beamE", "eLoss", "scale", "s", "N1", "N2", "N3", "N4"]
+
+
+def _load_reference_modules():
+    sys.path.insert(0, REFERENCE)
+    import importlib
+    return {
+        "constants": importlib.import_module("constants.constants"),
+        "utilities": importlib.import_module("utilities.utilities"),
+        "ionStopping": importlib.import_module("utilities.ionStopping"),
+    }
+
+
+def make_reference_lnprob(ref, observed):
+    """lnprob(theta) using the reference's own kernels
+    (tests/simultFit.py:223-300 generateModelData, :380-409 lnlike,
+    :412-442 compoundLnlike + box prior, :444-469 lnprob)."""
+    from scipy.integrate import ode
+    from scipy.special import gammaln
+    from scipy.stats import lognorm
+
+    consts = ref["constants"]
+    distances, masses = consts.distances, consts.masses
+    tofW = consts.tofWindows()
+
+    ddnXS = ref["utilities"].ddnXSinterpolator()
+    ref_np = ref["utilities"].np
+    orig_linspace = ref_np.linspace
+    ref_np.linspace = lambda a, b, n, *args, **kw: orig_linspace(
+        a, b, int(n), *args, **kw)
+    try:
+        beamTiming = ref["utilities"].beamTimingShape()
+    finally:
+        ref_np.linspace = orig_linspace
+    zeroDeg = ref["utilities"].zeroDegreeTimingSpread()
+    stopping = ref["ionStopping"].ionStopping.simpleBethe([1])
+    stopping.addMaterial([1, 2, 8.565e-5, 19.2e-3])
+    getTOF = ref["utilities"].getTOF
+    getDDn = ref["utilities"].getDDneutronEnergy
+
+    eD_bins, eD_lo, eD_hi = 50, 200.0, 1200.0
+    x_bins = 10
+    L = distances.tunlSSA_CsI.cellLength
+    x_centers = np.linspace(L / 20, L - L / 20, x_bins)
+    eD_centers = np.linspace(eD_lo + 10, eD_hi - 10, eD_bins)
+    eN_centers = getDDn(eD_centers)
+    eD_binSize, x_binSize = (eD_hi - eD_lo) / eD_bins, L / x_bins
+
+    standoffs = [distances.tunlSSA_CsI.standoffMid,
+                 distances.tunlSSA_CsI.standoffClose,
+                 distances.tunlSSA_CsI.standoffClose,
+                 distances.tunlSSA_CsI.standoffFar][:N_RUNS]
+    run_names = ["mid", "close", "close", "far"][:N_RUNS]
+
+    # parameter bounds (tests/simultFit.py:425-435)
+    lo_b = np.array([1825.0, 600.0, 40.0, 0.1] + [0.0] * N_RUNS)
+    hi_b = np.array([1925.0, 1000.0, 300.0, 1.2] + [1.0e6] * N_RUNS)
+
+    # precompute zero-degree spread per eD bin (reference rebuilds per
+    # cell; identical values, same getTimesAndWeights call)
+    zd = [zeroDeg.getTimesAndWeights(eN_centers[j]) for j in range(eD_bins)]
+
+    def lnprob(theta):
+        if np.any(theta < lo_b) or np.any(theta > hi_b):
+            return -np.inf
+        total = 0.0
+        for run in range(N_RUNS):
+            name = run_names[run]
+            lo, hi = tofW.minRange[name], tofW.maxRange[name]
+            nb = tofW.nBins[name]
+            obs = observed[run]
+
+            data_hist = np.zeros((x_bins, eD_bins))
+            ez = np.repeat(theta[0], N_DRAWS) - lognorm.rvs(
+                s=theta[3], loc=theta[1], scale=theta[2], size=N_DRAWS)
+            while True:
+                bad = np.where(ez <= 0.0)[0]
+                if bad.size == 0:
+                    break
+                ez[bad] = theta[0] - lognorm.rvs(
+                    s=theta[3], loc=theta[1], scale=theta[2],
+                    size=bad.size)
+            solver = ode(lambda x, y: stopping.dEdx(energy=y, x=x))
+            solver.set_integrator("dopri5").set_initial_value(ez)
+            for i, x in enumerate(x_centers):
+                sol = solver.integrate(x)
+                w = ddnXS.evaluate(sol)
+                h, _ = np.histogram(sol, eD_bins, (eD_lo, eD_hi),
+                                    weights=w)
+                data_hist[i] += h
+            s_hist = np.sum(data_hist * eD_binSize * x_binSize)
+            if s_hist <= 0:
+                return -np.inf
+            data_hist /= s_hist
+            e0mean = float(np.mean(ez))
+            draw2d = np.rint(data_hist * N_DRAWS).astype(int)
+            tofs, tofWs = [], []
+            for idx, weight in np.ndenumerate(draw2d):
+                cell = x_centers[idx[0]]
+                eff = (e0mean + eD_centers[idx[1]]) / 2
+                tof_d = getTOF(masses.deuteron, eff, cell)
+                ndist = L - cell + standoffs[run]
+                tof_n = getTOF(masses.neutron, eN_centers[idx[1]], ndist)
+                zt, zw = zd[idx[1]]
+                tofs.append(tof_d + tof_n + zt)
+                tofWs.append(weight * zw)
+            tof_hist, _ = np.histogram(tofs, nb, (lo, hi), weights=tofWs,
+                                       density=True)
+            model = theta[4 + run] * beamTiming.applySpreading(tof_hist)
+
+            ll = 0.0
+            for b in range(nb):
+                o = obs[b] if obs[b] != 0 else 1.0
+                m = model[b] if model[b] != 0 else 1.0
+                p = -o - gammaln(int(m) + 1)
+                if m > 0:
+                    p += m * np.log(o)
+                ll += o * p
+            if np.isnan(ll):
+                return -np.inf
+            total += ll
+        return total
+
+    return lnprob
+
+
+def numpy_stretch_sampler(rng, logp, p0, n_steps, a=2.0, label=""):
+    """Independent Goodman-Weare stretch sampler (emcee semantics; same
+    implementation as tests/test_sampler_parity.py's oracle)."""
+    pos = np.array(p0, dtype=np.float64)
+    n_walkers, n_dim = pos.shape
+    lp = np.array([logp(x) for x in pos])
+    chain = np.empty((n_steps, n_walkers, n_dim))
+    lps = np.empty((n_steps, n_walkers))
+    n_acc = 0
+    t0 = time.time()
+    for step in range(n_steps):
+        for parity in (0, 1):
+            active_idx = np.arange(parity, n_walkers, 2)
+            passive_idx = np.arange(1 - parity, n_walkers, 2)
+            nh = len(active_idx)
+            z = ((a - 1.0) * rng.random(nh) + 1.0) ** 2 / a
+            partners = pos[rng.choice(passive_idx, nh)]
+            prop = partners + z[:, None] * (pos[active_idx] - partners)
+            lp_prop = np.array([logp(x) for x in prop])
+            log_ratio = (n_dim - 1) * np.log(z) + lp_prop - lp[active_idx]
+            acc = np.log(rng.random(nh)) < log_ratio
+            pos[active_idx[acc]] = prop[acc]
+            lp[active_idx[acc]] = lp_prop[acc]
+            n_acc += acc.sum()
+        chain[step] = pos
+        lps[step] = lp
+        if (step + 1) % 5 == 0:
+            rate = (step + 1) * n_walkers / (time.time() - t0)
+            print(f"{label}step {step + 1}/{n_steps} "
+                  f"({rate:.2f} walker-steps/s)", flush=True)
+    return chain, lps, n_acc / (n_steps * n_walkers)
+
+
+def _initial_walkers(rng, observed):
+    guesses = np.concatenate([TRUTH[:4],
+                              [float(np.sum(o)) for o in observed]])
+    agit = np.concatenate([[10.0, 50.0, 20.0, 0.1],
+                           0.15 * guesses[4:]])
+    return guesses + agit * rng.standard_normal((N_WALKERS, 4 + N_RUNS))
+
+
+def prepare():
+    os.makedirs(OUT, exist_ok=True)
+    sys.path.insert(0, REPO)
+    import jax
+    from mcmctoffitting_tpu.models import simult
+    from mcmctoffitting_tpu.utils import data_io
+    spec = simult.default_spec(n_samples=200_000)
+    problem = simult.SimultFitProblem(spec, n_runs=N_RUNS)
+    observed = data_io.synthesize_observed(jax.random.PRNGKey(99), problem,
+                                           TRUTH)
+    np.savez(os.path.join(OUT, "observed.npz"),
+             **{f"run{i}": np.asarray(o) for i, o in enumerate(observed)})
+    print("observed data written:", [int(np.sum(o)) for o in observed])
+
+
+def _load_observed():
+    d = np.load(os.path.join(OUT, "observed.npz"))
+    return [d[f"run{i}"].astype(float) for i in range(N_RUNS)]
+
+
+def run_reference():
+    observed = _load_observed()
+    ref = _load_reference_modules()
+    lnprob = make_reference_lnprob(ref, observed)
+    rng = np.random.default_rng(7)
+    p0 = _initial_walkers(rng, observed)
+    t0 = time.time()
+    _burn, _, acc_b = numpy_stretch_sampler(rng, lnprob, p0, N_BURNIN,
+                                            label="ref burn-in: ")
+    chain, lps, acc = numpy_stretch_sampler(rng, lnprob, _burn[-1], N_MAIN,
+                                            label="ref main: ")
+    np.savez(os.path.join(OUT, "reference_chain.npz"), chain=chain,
+             lps=lps, acc=acc, elapsed=time.time() - t0)
+    print(f"reference done in {time.time() - t0:.0f}s, acc={acc:.2f}")
+
+
+def run_ours():
+    observed = _load_observed()
+    sys.path.insert(0, REPO)
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+    from mcmctoffitting_tpu.models import simult
+    from mcmctoffitting_tpu.sampler import (init_state, make_logp_batch,
+                                            run_mcmc)
+    spec = simult.default_spec(n_samples=N_DRAWS)
+    problem = simult.SimultFitProblem(spec, n_runs=N_RUNS)
+    logp = problem.make_log_prob_fn(observed)
+    lb = make_logp_batch(logp)
+    rng = np.random.default_rng(17)
+    p0 = jnp.asarray(_initial_walkers(rng, observed), jnp.float32)
+    t0 = time.time()
+    state = init_state(jax.random.PRNGKey(3), p0, lb)
+    state = run_mcmc(state, N_BURNIN, lb).state
+    chain = run_mcmc(state, N_MAIN, lb)
+    np.savez(os.path.join(OUT, "ours_chain.npz"),
+             chain=np.asarray(chain.positions),
+             lps=np.asarray(chain.log_probs),
+             acc=float(chain.acceptance_fraction.mean()),
+             elapsed=time.time() - t0)
+    print(f"ours done in {time.time() - t0:.0f}s, "
+          f"acc={float(chain.acceptance_fraction.mean()):.2f}")
+
+
+def report():
+    ref = np.load(os.path.join(OUT, "reference_chain.npz"))
+    ours = np.load(os.path.join(OUT, "ours_chain.npz"))
+    lines = [f"Posterior parity, {N_RUNS} runs x {N_DRAWS} draws, "
+             f"{N_WALKERS} walkers x {N_MAIN} main steps, shared data",
+             f"reference: {float(ref['elapsed']):.0f}s "
+             f"acc={float(ref['acc']):.2f} | ours: "
+             f"{float(ours['elapsed']):.0f}s acc={float(ours['acc']):.2f}",
+             f"{'param':>6} {'ref med':>11} {'ref sig':>9} "
+             f"{'ours med':>11} {'ours sig':>9} {'dz':>6}"]
+    burn = N_MAIN // 4
+    rflat = ref["chain"][burn:].reshape(-1, 4 + N_RUNS)
+    oflat = ours["chain"][burn:].reshape(-1, 4 + N_RUNS)
+    worst = 0.0
+    for d, name in enumerate(PARAM_NAMES[: 4 + N_RUNS]):
+        rq = np.percentile(rflat[:, d], [16, 50, 84])
+        oq = np.percentile(oflat[:, d], [16, 50, 84])
+        rs = 0.5 * (rq[2] - rq[0])
+        os_ = 0.5 * (oq[2] - oq[0])
+        pooled = np.sqrt(0.5 * (rs ** 2 + os_ ** 2))
+        dz = (oq[1] - rq[1]) / pooled if pooled > 0 else np.inf
+        worst = max(worst, abs(dz))
+        lines.append(f"{name:>6} {rq[1]:11.4g} {rs:9.3g} "
+                     f"{oq[1]:11.4g} {os_:9.3g} {dz:6.2f}")
+    lines.append(f"worst |dz| = {worst:.2f} "
+                 "(medians in pooled posterior-sigma units)")
+    text = "\n".join(lines)
+    print(text)
+    with open(os.path.join(OUT, "report.txt"), "w") as f:
+        f.write(text + "\n")
+    with open(os.path.join(OUT, "summary.json"), "w") as f:
+        json.dump({"worst_dz": worst}, f)
+
+
+if __name__ == "__main__":
+    phase = sys.argv[1] if len(sys.argv) > 1 else "report"
+    {"prepare": prepare, "reference": run_reference, "ours": run_ours,
+     "report": report}[phase]()
