@@ -22,7 +22,6 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 class HMCState(NamedTuple):
@@ -85,12 +84,7 @@ def hmc_sample(key, p0, n_steps: int, log_prob_fn: Callable, *,
 
     lp0, g0 = vlogp_grad(p0)
 
-    # --- dual averaging warm-up ---
-    mu = np.log(10.0 * init_step_size)
-    log_eps = np.log(init_step_size)
-    log_eps_bar, h_bar = 0.0, 0.0
-    gamma, t0, kappa = 0.05, 10.0, 0.75
-
+    # --- dual averaging warm-up (shared scanned impl, _adapt.py) ---
     def one_step(state, step_size, step_key):
         q, lp, grad, _ = state
         k_mom, k_acc, k_len = jax.random.split(step_key, 3)
@@ -109,20 +103,15 @@ def hmc_sample(key, p0, n_steps: int, log_prob_fn: Callable, *,
         grad = jnp.where(accept[:, None], grad_new, grad)
         return (q, lp, grad), jnp.exp(log_alpha)
 
-    state = (p0, lp0, g0)
-    step_fn = jax.jit(lambda s, eps, k: one_step((s[0], s[1], s[2], None),
-                                                 eps, k))
-    for i in range(n_warmup):
-        k = jax.random.fold_in(key, i)
-        state, alpha = step_fn(state, jnp.float32(np.exp(log_eps)), k)
-        a = float(jnp.mean(alpha))
-        # dual averaging update
-        frac = 1.0 / (i + 1 + t0)
-        h_bar = (1 - frac) * h_bar + frac * (target_accept - a)
-        log_eps = mu - np.sqrt(i + 1) / gamma * h_bar
-        eta = (i + 1) ** -kappa
-        log_eps_bar = eta * log_eps + (1 - eta) * log_eps_bar
-    step_size = float(np.exp(log_eps_bar))
+    from ._adapt import dual_averaging_warmup
+
+    def warm_step(state, eps, k):
+        return one_step((state[0], state[1], state[2], None), eps, k)
+
+    state, eps = dual_averaging_warmup(key, (p0, lp0, g0), warm_step,
+                                       n_warmup, init_step_size,
+                                       target_accept)
+    step_size = float(eps)
 
     # --- sampling ---
     def scan_step(carry, step_key):

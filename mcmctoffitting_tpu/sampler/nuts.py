@@ -10,16 +10,18 @@ Algorithm: multinomial NUTS with biased progressive sampling
 momentum-sum U-turn criterion, iterative formulation:
 
 * the doubling loop is a ``lax.while_loop`` bounded by ``max_depth``;
-* each doubling builds its subtree with a ``lax.fori_loop`` whose traced
-  trip count is 2^depth;
+* each doubling builds its subtree with a ``lax.while_loop`` whose trip
+  count is 2^depth with EARLY EXIT on divergence/U-turn (no wasted
+  gradient evaluations past an invalidation);
 * the recursive U-turn checks on every balanced (dyadic) sub-subtree are
   replayed iteratively: leaves and momentum prefix-sums are stored in
-  static ``2^max_depth`` buffers, and at leaf ``i`` every dyadic interval
-  that ENDS at ``i`` (one per trailing 1-bit of ``i``) is checked with the
-  interval's momentum sum against its endpoint momenta.  The buffer is
-  O(2^max_depth * dim) — a few hundred KB at this package's dimensions
-  (<= 35), traded deliberately for auditability over the O(log) checkpoint
-  stack used by e.g. numpyro; both are mathematically the same checks.
+  static ``2^(max_depth-1)`` buffers (the largest subtree ever built),
+  and at leaf ``i`` every dyadic interval that ENDS at ``i`` (one per
+  trailing 1-bit of ``i``) is checked with the interval's momentum sum
+  against its endpoint momenta.  The buffer is O(2^max_depth * dim) — a
+  few hundred KB at this package's dimensions (<= 35), traded
+  deliberately for auditability over the O(log) checkpoint stack used by
+  e.g. numpyro; both are mathematically the same checks.
 * divergence (leaf energy error < -1000) or an internal U-turn discards
   the entire new subtree, exactly like the recursive sampler.
 
@@ -33,7 +35,6 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 _DIVERGENCE_THRESHOLD = 1000.0
 
@@ -77,7 +78,9 @@ def _transition(logp_grad_fn: Callable, z, lp, grad, key, step_size,
     """One NUTS transition for a single chain.  Returns
     (z, lp, grad, accept_stat, depth, diverged)."""
     n_dim = z.shape[-1]
-    n_leaf_max = 1 << max_depth
+    # the doubling loop runs while depth < max_depth, so the LARGEST
+    # subtree ever built has 2^(max_depth-1) leaves
+    n_leaf_max = 1 << (max_depth - 1)
 
     k_mom, k_loop = jax.random.split(key)
     r0 = jax.random.normal(k_mom, (n_dim,))
@@ -107,7 +110,6 @@ def _transition(logp_grad_fn: Callable, z, lp, grad, key, step_size,
             z=z0, r=r0_, g=g0,
             z_buf=z_buf, r_buf=r_buf, rho_pre=rho_pre,
             lsw=-jnp.inf, zp=z0, lpp=-jnp.inf, gp=g0,
-            rho=jnp.zeros(n_dim),
             turning=jnp.asarray(False), diverging=jnp.asarray(False),
             sum_alpha=jnp.asarray(0.0), n_alpha=jnp.asarray(0.0))
 
@@ -131,7 +133,7 @@ def _transition(logp_grad_fn: Callable, z, lp, grad, key, step_size,
             # U-turn checks for every dyadic interval ending at leaf i:
             # interval size 2^k applies iff the low k bits of i are all 1
             turning = st["turning"]
-            for k in range(1, max_depth + 1):
+            for k in range(1, max_depth):
                 size = 1 << k
                 applicable = (i & (size - 1)) == (size - 1)
                 s = jnp.maximum(i - size + 1, 0)
@@ -144,21 +146,26 @@ def _transition(logp_grad_fn: Callable, z, lp, grad, key, step_size,
             return dict(
                 z=z, r=r, g=g, z_buf=z_buf, r_buf=r_buf, rho_pre=rho_pre,
                 lsw=new_lsw, zp=zp, lpp=lpp, gp=gp,
-                rho=st["rho"] + r,
                 turning=turning,
                 diverging=st["diverging"] | diverged,
                 sum_alpha=st["sum_alpha"] + jnp.minimum(1.0, jnp.exp(lw)),
-                n_alpha=st["n_alpha"] + 1.0)
+                n_alpha=st["n_alpha"] + 1.0,
+                i=i + 1)
 
-        # freeze integration once the subtree is invalid (matches the
-        # recursive sampler, which stops building on divergence/U-turn)
-        def guarded(i, st):
-            stepped = leaf_step(i, st)
-            dead = st["turning"] | st["diverging"]
-            return jax.tree_util.tree_map(
-                lambda a, b: jnp.where(dead, a, b), st, stepped)
+        # while-loop with early exit: once the subtree is invalid, no
+        # further (expensive) gradient evaluations run — matching the
+        # recursive sampler, which stops building on divergence/U-turn
+        def alive(st):
+            return ((st["i"] < n_leaf)
+                    & ~(st["turning"] | st["diverging"]))
 
-        out = jax.lax.fori_loop(0, n_leaf, guarded, init)
+        init["i"] = jnp.asarray(0, n_leaf.dtype) \
+            if hasattr(n_leaf, "dtype") else 0
+        out = jax.lax.while_loop(alive, lambda st: leaf_step(st["i"], st),
+                                 init)
+        # the momentum sum of the (valid) subtree; for an invalidated
+        # subtree this is discarded by the caller anyway
+        out["rho"] = out["rho_pre"][jnp.minimum(out["i"], n_leaf)]
         return out
 
     root = _TreeState(
@@ -247,26 +254,18 @@ def nuts_sample(key, p0, n_steps: int, log_prob_fn: Callable, *,
         keys = jax.random.split(step_key, n_chains)
         return vtrans(logp_grad, z, lp, g, keys, eps, max_depth)
 
-    step_fn = jax.jit(one_step, static_argnames=())
+    # --- dual-averaging warm-up: one scanned program (sampler/_adapt.py)
+    from ._adapt import dual_averaging_warmup
 
-    # --- dual-averaging warm-up ---
-    mu = np.log(10.0 * init_step_size)
-    log_eps = np.log(init_step_size)
-    log_eps_bar, h_bar = 0.0, 0.0
-    gamma, t0, kappa = 0.05, 10.0, 0.75
+    def warm_step(state, eps, k):
+        z, lp, g = state
+        z, lp, g, alpha, _, _ = one_step(z, lp, g, eps, k)
+        return (z, lp, g), alpha
 
-    z, lp, g = p0, lp0, g0
-    for i in range(n_warmup):
-        k = jax.random.fold_in(key, i)
-        z, lp, g, alpha, _, _ = step_fn(z, lp, g,
-                                        jnp.float32(np.exp(log_eps)), k)
-        a = float(jnp.mean(alpha))
-        frac = 1.0 / (i + 1 + t0)
-        h_bar = (1 - frac) * h_bar + frac * (target_accept - a)
-        log_eps = mu - np.sqrt(i + 1) / gamma * h_bar
-        eta = (i + 1) ** -kappa
-        log_eps_bar = eta * log_eps + (1 - eta) * log_eps_bar
-    step_size = float(np.exp(log_eps_bar))
+    (z, lp, g), eps = dual_averaging_warmup(
+        key, (p0, lp0, g0), warm_step, n_warmup, init_step_size,
+        target_accept)
+    step_size = float(eps)
 
     # --- sampling: one scan program ---
     def scan_step(carry, step_key):
