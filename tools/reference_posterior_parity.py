@@ -34,9 +34,16 @@ OUT = os.path.join(REPO, "out", "parity")
 N_RUNS = 4
 N_DRAWS = 10_000
 N_WALKERS = 18
-N_BURNIN = 40
-N_MAIN = 160
-TRUTH = np.array([1878.4, 850.0, 170.0, 0.5, 5e4, 5e4, 5e4, 5e4])
+N_BURNIN = 60
+N_MAIN = 200
+# Norms 10x below the flagship default: the reference's idiosyncratic
+# likelihood has pseudo-marginal logp noise that grows with the observed
+# count scale (measured sigma ~ 7e4 at 5e4 norms, ~5e3 at 5e3 norms,
+# nearly draw-count-INdependent).  Ensemble acceptance decays as the
+# ensemble tightens (record statistics of the per-eval noise) for BOTH
+# samplers equally; see _initial_walkers for how the comparison handles
+# that.
+TRUTH = np.array([1878.4, 850.0, 170.0, 0.5, 5e3, 5e3, 5e3, 5e3])
 PARAM_NAMES = ["beamE", "eLoss", "scale", "s", "N1", "N2", "N3", "N4"]
 
 
@@ -197,10 +204,17 @@ def numpy_stretch_sampler(rng, logp, p0, n_steps, a=2.0, label=""):
 
 
 def _initial_walkers(rng, observed):
+    """The reference's own init (tests/simultFit.py:679-684), identically
+    for both samplers.  NOTE on mixing: this pseudo-marginal estimator's
+    logp noise makes ensemble acceptance decay as the ensemble tightens
+    (record statistics of the per-eval noise); both samplers share the
+    estimator so the comparison stays apples-to-apples, but median
+    standard errors are large — tolerances in report() are set
+    accordingly, and the exactness of the posterior itself is pinned
+    separately by the expected-forward cross-checks (RESULTS_r2.md)."""
     guesses = np.concatenate([TRUTH[:4],
                               [float(np.sum(o)) for o in observed]])
-    agit = np.concatenate([[10.0, 50.0, 20.0, 0.1],
-                           0.15 * guesses[4:]])
+    agit = np.concatenate([[10.0, 50.0, 20.0, 0.1], 0.15 * guesses[4:]])
     return guesses + agit * rng.standard_normal((N_WALKERS, 4 + N_RUNS))
 
 
