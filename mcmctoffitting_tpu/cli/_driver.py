@@ -30,6 +30,7 @@ def posterior_fingerprint(problem, observed) -> np.ndarray:
     h.update(problem.spec.sampling.encode())
     h.update(problem.spec.xs_mode.encode())
     h.update(problem.spec.bg_mode.encode())
+    h.update(getattr(problem, "likelihood", "reference").encode())
     for o in observed:
         h.update(np.ascontiguousarray(np.asarray(o, np.float64)).tobytes())
     return np.frombuffer(h.digest(), np.uint8).copy()

@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-expectedForward", action="store_true",
                    help="closed-form expected forward model (the exact "
                         "infinite-draw limit; no pseudo-marginal noise)")
+    p.add_argument("-likelihood", choices=["reference", "poisson"],
+                   default="reference",
+                   help="reference: the faithful int()-cast form, whose "
+                        "sawtooth IS the dominant pseudo-marginal noise; "
+                        "poisson: correct Poisson logpmf — recommended")
     return p
 
 
@@ -98,7 +103,8 @@ def main(argv=None) -> dict:
         sampling="expected" if args.expectedForward else "mc")
     if args.deterministicBG:
         spec = dataclasses.replace(spec, bg_mode="expected")
-    problem = onebd.OneBDProblem(spec, n_runs=3)
+    problem = onebd.OneBDProblem(spec, n_runs=3,
+                                 likelihood=args.likelihood)
 
     if args.inputDataFilename:
         tof_data = data_io.read_multi_standoff_tof_data(

@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-expectedForward", action="store_true",
                    help="closed-form expected forward model (the exact "
                         "infinite-draw limit; no pseudo-marginal noise)")
+    p.add_argument("-likelihood", choices=["reference", "poisson"],
+                   default="reference",
+                   help="reference: the faithful int()-cast form, whose "
+                        "sawtooth IS the dominant pseudo-marginal noise "
+                        "(sigma~7e4 measured); poisson: correct Poisson "
+                        "logpmf (sigma~2) — recommended for production")
     return p
 
 
@@ -79,7 +85,8 @@ def main(argv=None) -> dict:
         n_samples=n_draws,
         xs_mode="e0grid" if args.expectedForward else args.gridMode,
         sampling="expected" if args.expectedForward else "mc")
-    problem = simult.SimultFitProblem(spec, n_runs=args.nRuns)
+    problem = simult.SimultFitProblem(spec, n_runs=args.nRuns,
+                                      likelihood=args.likelihood)
 
     if args.datafile:
         tof_data = data_io.read_multi_standoff_tof_data(args.datafile,

@@ -129,6 +129,15 @@ class ForwardSpec:
     #     (cleaner) likelihood* the same way bg_mode='expected' is; the
     #     faithful default stays 'mc'.
     sampling: str = "mc"
+    # which e0 mean feeds the TOF lattice (tests/simultFit.py:288):
+    #   'sample' — the per-eval draw mean (reference-faithful).  Its jitter
+    #     rigidly shifts the whole lattice; heavy (x, eD) cells near TOF-bin
+    #     edges then FLIP bins between evals, which measures as the DOMINANT
+    #     pseudo-marginal logp noise (sigma ~ 7e4 at flagship scale, nearly
+    #     draw-count-independent) and drives late-chain acceptance decay.
+    #   'expected' — the closed-form distribution mean (lognorm source
+    #     only): removes exactly that noise while the grid stays MC.
+    e0_mean_mode: str = "sample"
     # dtype of the one-hot/moment-channel MXU contraction.  bf16 measured no
     # faster than f32 here (the contraction is not bandwidth-bound); if used,
     # the final weighted grid differs from f32 by <1e-5 relative (the
@@ -324,6 +333,16 @@ def grid_and_mean(spec: ForwardSpec, params, key):
                          "(expected 'mc' or 'expected')")
     e_zeros = sample_beam_energies(key, spec, params)
     grid, _ = energy_weight_grid(spec, e_zeros)
+    if spec.e0_mean_mode == "expected":
+        if spec.beam_source != "lognorm":
+            raise ValueError("e0_mean_mode='expected' requires the "
+                             "lognorm beam source")
+        from ..ops.e0grid import expected_e0_mean
+        e0_mean = expected_e0_mean(params[0], params[1], params[2],
+                                   params[3], spec.n_redraw_rounds != 0)
+        return grid, e0_mean
+    if spec.e0_mean_mode != "sample":
+        raise ValueError(f"unknown e0_mean_mode {spec.e0_mean_mode!r}")
     return grid, jnp.mean(e_zeros)
 
 

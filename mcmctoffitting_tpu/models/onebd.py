@@ -20,7 +20,8 @@ import numpy as np
 from ..config import deuteron_binning_onebd, x_binning_onebd
 from ..constants import (TUNL_SSA_CSI_ONEBD, TofWindow, onebd_consts,
                          tof_windows_onebd)
-from ..ops.likelihoods import box_lnprior, poisson_binned_loglike
+from ..ops.likelihoods import (box_lnprior, poisson_binned_loglike,
+                               poisson_logpmf_loglike)
 from ..ops.stopping import StoppingTable, d2_gas_stopping
 from ..ops.timing import GaussianTiming
 from .forward import ForwardSpec, tof_spectra_multi, tof_spectrum
@@ -102,6 +103,14 @@ class OneBDProblem:
 
     spec: ForwardSpec
     n_runs: int = 3
+    # 'reference' = the faithful "poor man's logpmf" (tests/simultFit.py:
+    # 389-409).  Its int()-cast gammaln makes the log-likelihood a SAWTOOTH
+    # in the model counts: measured pseudo-marginal logp noise sigma ~ 7e4
+    # at the flagship scale (nearly draw-count-independent) — the dominant
+    # source of ensemble acceptance decay.  'poisson' = the correct
+    # Poisson(obs | rate=model) logpmf: same posterior information, logp
+    # noise sigma ~ 2 at 200k draws (measured; RESULTS_r2.md).
+    likelihood: str = "reference"
 
     @property
     def standoffs(self) -> tuple[float, ...]:
@@ -178,9 +187,11 @@ class OneBDProblem:
             run_keys, params, self.spec, self.standoffs, self.windows,
             theta[3: 3 + self.n_runs],
             theta[3 + self.n_runs: 3 + 2 * self.n_runs])
+        loglike = (poisson_binned_loglike if self.likelihood == "reference"
+                   else poisson_logpmf_loglike)
         total = prior
         for run in range(self.n_runs):
-            total = total + poisson_binned_loglike(
+            total = total + loglike(
                 spectra[run], jnp.asarray(observed[run]))
         return jnp.where(jnp.isneginf(prior), -jnp.inf,
                          jnp.where(jnp.isnan(total), -jnp.inf, total))

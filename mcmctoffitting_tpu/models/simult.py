@@ -18,7 +18,8 @@ import functools
 
 from ..config import SIMULTFIT_ED_BINNING, SIMULTFIT_X_BINNING
 from ..constants import TUNL_SSA_CSI, TofWindow, tof_windows
-from ..ops.likelihoods import box_lnprior, poisson_binned_loglike
+from ..ops.likelihoods import (box_lnprior, poisson_binned_loglike,
+                               poisson_logpmf_loglike)
 from ..ops.stopping import StoppingTable, d2_gas_stopping
 from ..ops.timing import ExGaussianTiming
 from .forward import ForwardSpec, tof_spectra_multi, tof_spectrum
@@ -127,6 +128,14 @@ class SimultFitProblem:
 
     spec: ForwardSpec
     n_runs: int = 4
+    # 'reference' = the faithful "poor man's logpmf" (tests/simultFit.py:
+    # 389-409).  Its int()-cast gammaln makes the log-likelihood a SAWTOOTH
+    # in the model counts: measured pseudo-marginal logp noise sigma ~ 7e4
+    # at the flagship scale (nearly draw-count-independent) — the dominant
+    # source of ensemble acceptance decay.  'poisson' = the correct
+    # Poisson(obs | rate=model) logpmf: same posterior information, logp
+    # noise sigma ~ 2 at 200k draws (measured; RESULTS_r2.md).
+    likelihood: str = "reference"
 
     @property
     def standoffs(self) -> tuple[float, ...]:
@@ -188,9 +197,11 @@ class SimultFitProblem:
         spectra = tof_spectra_multi(run_keys, theta[:4], self.spec,
                                     self.standoffs, self.windows,
                                     theta[4: 4 + self.n_runs])
+        loglike = (poisson_binned_loglike if self.likelihood == "reference"
+                   else poisson_logpmf_loglike)
         total = prior
         for run in range(self.n_runs):
-            total = total + poisson_binned_loglike(
+            total = total + loglike(
                 spectra[run], jnp.asarray(observed[run]))
         return jnp.where(jnp.isneginf(prior), -jnp.inf,
                          jnp.where(jnp.isnan(total), -jnp.inf, total))

@@ -316,6 +316,34 @@ def expected_moments(table: E0GridTable, beam_e, e_loss, scale, s,
     return moments, e0_mean
 
 
+def expected_e0_mean(beam_e, e_loss, scale, s, truncated: bool):
+    """Closed-form mean of the beam-energy draw distribution.
+
+    The infinite-draw limit of the per-eval sample mean the reference
+    feeds into its TOF lattice (``tests/simultFit.py:288``).  Measured:
+    the SAMPLE mean's jitter is the dominant pseudo-marginal noise source
+    — it rigidly shifts the whole TOF lattice, and heavy (x, eD) cells
+    sitting near TOF-bin edges flip bins, jumping the log-likelihood by
+    O(1e4) (see RESULTS notes); the expectation removes exactly that.
+    """
+    import jax.numpy as jnp
+    from jax.scipy.special import ndtr
+
+    valid = (scale > 0.0) & (s > 0.0)
+    safe_scale = jnp.where(scale > 0.0, scale, 1.0)
+    safe_s = jnp.where(s > 0.0, s, 1.0)
+    if truncated:
+        w_max = jnp.maximum((beam_e - e_loss) / safe_scale, 1e-30)
+        zmax = jnp.log(w_max) / safe_s
+        norm = ndtr(zmax)
+        norm = jnp.where(valid & (norm > 0), norm, 1.0)
+        mean_w = (jnp.exp(0.5 * safe_s * safe_s)
+                  * ndtr(zmax - safe_s)) / norm
+    else:
+        mean_w = jnp.exp(0.5 * safe_s * safe_s)
+    return beam_e - e_loss - safe_scale * mean_w
+
+
 def e0grid_moments_np(table: E0GridTable, e0):
     """Host f64 reference of the device moment accumulation (for tests)."""
     e0 = np.asarray(e0, dtype=np.float64)
