@@ -84,7 +84,7 @@ def run_phases(state, phases, logp_batch, *, n_walkers: int, segment: int,
         if fn is None:
             def segment_fn(st):
                 ch = run_mcmc(st, seg, logp_batch)
-                return ch.positions, ch.log_probs, ch.state
+                return ch.positions, ch.log_probs, ch.n_accepted, ch.state
             fn = jax.jit(segment_fn)
             jitted[seg] = fn
         return fn(s)
@@ -96,16 +96,19 @@ def run_phases(state, phases, logp_batch, *, n_walkers: int, segment: int,
         if truncate:
             open(path, "w").close()
         done = 0
+        phase_accepted = 0.0
         while done < n_steps:
             seg = min(segment, n_steps - done)
-            positions, log_probs, state = run_segment(state, seg)
+            positions, log_probs, n_acc, state = run_segment(state, seg)
             chain_io.append_chain_text(path, np.asarray(positions),
                                        np.asarray(log_probs))
+            phase_accepted += float(np.sum(np.asarray(n_acc)))
             done += seg
             total_steps += seg
             rate = total_steps * n_walkers / (time.time() - t0)
+            acc = phase_accepted / (done * n_walkers)
             print(f"{phase}: step {done}/{n_steps} "
-                  f"({rate:.1f} walker-steps/s)", flush=True)
+                  f"({rate:.1f} walker-steps/s, acc {acc:.2f})", flush=True)
         chain_io.save_checkpoint(
             prefix + f"{phase.replace('-', '')}.ckpt.npz", state,
             extra=extra)
