@@ -65,19 +65,28 @@ def poisson_binned_loglike(model_counts, observed_counts, *,
     return jnp.where(jnp.isnan(total), -jnp.inf, total)
 
 
+POISSON_RATE_FLOOR = 1e-3
+
+
 def poisson_logpmf_loglike(model_counts, observed_counts):
     """Statistically-correct Poisson(obs | rate=model) binned likelihood.
 
     Offered alongside the reference form as the documented improvement:
     log pmf = obs * log(model) - model - gammaln(obs + 1).
-    Zero-model bins with data give -inf; zero-model zero-obs give 0.
+
+    Model rates are floored at ``POISSON_RATE_FLOOR`` counts: the MC
+    forward model can return HARD zeros in tail bins at low draw counts
+    (a finite-sample artifact, not a model statement that the rate is
+    exactly 0), and a -inf there makes the pseudo-marginal likelihood
+    intermittently -inf even at the truth.  The floor keeps such bins a
+    strong-but-finite penalty (obs * log(1e-3) ~ -6.9 per observed
+    count); NaN model bins still map to -inf.
     """
     model = jnp.asarray(model_counts)
     obs = jnp.asarray(observed_counts)
-    safe_model = jnp.where(model > 0, model, 1.0)
-    logpmf = obs * jnp.log(safe_model) - model - gammaln(obs + 1.0)
-    logpmf = jnp.where((model <= 0) & (obs > 0), -jnp.inf, logpmf)
-    logpmf = jnp.where((model <= 0) & (obs == 0), 0.0, logpmf)
+    rate = jnp.maximum(model, POISSON_RATE_FLOOR)
+    logpmf = obs * jnp.log(rate) - rate - gammaln(obs + 1.0)
+    logpmf = jnp.where(jnp.isnan(model), -jnp.inf, logpmf)
     total = jnp.sum(logpmf)
     return jnp.where(jnp.isnan(total), -jnp.inf, total)
 

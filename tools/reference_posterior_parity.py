@@ -29,10 +29,18 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = "/root/reference"
-OUT = os.path.join(REPO, "out", "parity")
+# PARITY_LIKELIHOOD=reference (faithful sawtooth form; sticky chains,
+# loose medians) | poisson (correct logpmf BOTH sides; sharp comparison)
+LIKELIHOOD = os.environ.get("PARITY_LIKELIHOOD", "reference")
+OUT = os.path.join(REPO, "out",
+                   "parity" if LIKELIHOOD == "reference"
+                   else f"parity_{LIKELIHOOD}")
+if os.environ.get("PARITY_RUNS") or os.environ.get("PARITY_DRAWS"):
+    OUT += f"_r{os.environ.get('PARITY_RUNS', '4')}" \
+           f"_d{os.environ.get('PARITY_DRAWS', '10000')}" 
 
-N_RUNS = 4
-N_DRAWS = 10_000
+N_RUNS = int(os.environ.get("PARITY_RUNS", "4"))
+N_DRAWS = int(os.environ.get("PARITY_DRAWS", "10000"))
 N_WALKERS = 18
 N_BURNIN = 60
 N_MAIN = 200
@@ -43,7 +51,7 @@ N_MAIN = 200
 # ensemble tightens (record statistics of the per-eval noise) for BOTH
 # samplers equally; see _initial_walkers for how the comparison handles
 # that.
-TRUTH = np.array([1878.4, 850.0, 170.0, 0.5, 5e3, 5e3, 5e3, 5e3])
+TRUTH = np.concatenate([[1878.4, 850.0, 170.0, 0.5], [5e3] * N_RUNS])
 PARAM_NAMES = ["beamE", "eLoss", "scale", "s", "N1", "N2", "N3", "N4"]
 
 
@@ -155,13 +163,21 @@ def make_reference_lnprob(ref, observed):
             model = theta[4 + run] * beamTiming.applySpreading(tof_hist)
 
             ll = 0.0
-            for b in range(nb):
-                o = obs[b] if obs[b] != 0 else 1.0
-                m = model[b] if model[b] != 0 else 1.0
-                p = -o - gammaln(int(m) + 1)
-                if m > 0:
-                    p += m * np.log(o)
-                ll += o * p
+            if LIKELIHOOD == "poisson":
+                # correct Poisson logpmf, exactly mirroring
+                # ops.likelihoods.poisson_logpmf_loglike (incl. the
+                # 1e-3-count rate floor for hard-zero MC tail bins)
+                for b in range(nb):
+                    o, m = obs[b], max(model[b], 1e-3)
+                    ll += o * np.log(m) - m - gammaln(o + 1.0)
+            else:
+                for b in range(nb):
+                    o = obs[b] if obs[b] != 0 else 1.0
+                    m = model[b] if model[b] != 0 else 1.0
+                    p = -o - gammaln(int(m) + 1)
+                    if m > 0:
+                        p += m * np.log(o)
+                    ll += o * p
             if np.isnan(ll):
                 return -np.inf
             total += ll
@@ -267,7 +283,8 @@ def run_ours():
     from mcmctoffitting_tpu.sampler import (init_state, make_logp_batch,
                                             run_mcmc)
     spec = simult.default_spec(n_samples=N_DRAWS)
-    problem = simult.SimultFitProblem(spec, n_runs=N_RUNS)
+    problem = simult.SimultFitProblem(spec, n_runs=N_RUNS,
+                                      likelihood=LIKELIHOOD)
     logp = problem.make_log_prob_fn(observed)
     lb = make_logp_batch(logp)
     rng = np.random.default_rng(17)
@@ -288,7 +305,7 @@ def run_ours():
 def report():
     ref = np.load(os.path.join(OUT, "reference_chain.npz"))
     ours = np.load(os.path.join(OUT, "ours_chain.npz"))
-    lines = [f"Posterior parity, {N_RUNS} runs x {N_DRAWS} draws, "
+    lines = [f"Posterior parity [{LIKELIHOOD}], {N_RUNS} runs x "
              f"{N_WALKERS} walkers x {N_MAIN} main steps, shared data",
              f"reference: {float(ref['elapsed']):.0f}s "
              f"acc={float(ref['acc']):.2f} | ours: "
