@@ -118,3 +118,48 @@ def test_expected_mode_guards():
     bad = dataclasses.replace(spec, sampling="expected")
     with pytest.raises(ValueError, match="e0grid"):
         grid_and_mean(bad, jnp.zeros(4), jax.random.PRNGKey(0))
+
+
+def test_expected_e0_mean_matches_sample_mean():
+    """Closed-form draw mean vs big-sample mean, truncated + plain."""
+    from mcmctoffitting_tpu.ops.e0grid import expected_e0_mean
+
+    n = 400_000
+    # truncated (simult-style: beamE - truncated lognorm)
+    beam_e, e_loss, scale, s = 1878.4, 850.0, 170.0, 0.5
+    spec = simult.default_spec(n_samples=n)
+    params = jnp.asarray([beam_e, e_loss, scale, s], jnp.float32)
+    draws = sample_beam_energies(jax.random.PRNGKey(0), spec, params)
+    m_exp = float(expected_e0_mean(beam_e, e_loss, scale, s, True))
+    m_smp = float(jnp.mean(draws))
+    assert abs(m_exp - m_smp) < 5.0 * float(jnp.std(draws)) / np.sqrt(n)
+
+    # untruncated (oneBD disabled the redraw loop)
+    spec_u = onebd.default_spec(n_samples=n)
+    params_u = jnp.asarray([2490.0, 1300.0, 80.0, 0.6], jnp.float32)
+    draws_u = sample_beam_energies(jax.random.PRNGKey(1), spec_u, params_u)
+    m_exp_u = float(expected_e0_mean(2490.0, 1300.0, 80.0, 0.6, False))
+    m_smp_u = float(jnp.mean(draws_u))
+    assert abs(m_exp_u - m_smp_u) < 5.0 * float(jnp.std(draws_u)) / np.sqrt(n)
+
+
+def test_e0_mean_mode_expected_runs():
+    """MC grid + expected lattice mean: spectra stay close to the
+    faithful path (the mean moves by O(spread/sqrt(N)))."""
+    import dataclasses
+
+    from mcmctoffitting_tpu.models.forward import tof_spectrum
+
+    n = 100_000
+    spec_s = simult.default_spec(n_samples=n)
+    spec_e = dataclasses.replace(spec_s, e0_mean_mode="expected")
+    prob = simult.SimultFitProblem(spec_s, n_runs=1)
+    params = jnp.asarray([1878.4, 850.0, 170.0, 0.5], jnp.float32)
+    key = jax.random.PRNGKey(5)
+    sa = np.asarray(tof_spectrum(key, params, spec_s, prob.standoffs[0],
+                                 prob.windows[0], get_pdf=True, scale=5e4))
+    sb = np.asarray(tof_spectrum(key, params, spec_e, prob.standoffs[0],
+                                 prob.windows[0], get_pdf=True, scale=5e4))
+    assert np.isfinite(sb).all()
+    # same draws, lattice shifted by <~0.5 keV worth of mean jitter
+    assert np.abs(sa - sb).sum() < 0.05 * sa.sum()
