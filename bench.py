@@ -41,7 +41,7 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure_tpu() -> float:
+def measure_tpu() -> tuple[float, float]:
     import jax
     import numpy as np
 
@@ -128,8 +128,10 @@ def analytic_flops_per_walker_step(spec, n_runs: int) -> float:
     be = spec.ed_binning.n
     draw = 60.0 * n
     if spec.sampling == "expected":
+        # the expected grid is computed ONCE and shared across runs
+        # (tof_spectra_multi broadcasts it), so no n_runs factor
         f = spec.e0_grid_fine
-        return n_runs * (30.0 * 4 * f + 2.0 * 4 * f * m * be)
+        return 30.0 * 4 * f + 2.0 * 4 * f * m * be
     if spec.xs_mode == "e0grid":
         f = spec.e0_grid_fine
         per_sample = 12 + f + 2 * 4 * f      # index/channels, one-hot, dot
@@ -151,6 +153,13 @@ def reference_baseline() -> float | None:
     (``tests/simultFit.py:46``) as the charitable baseline.
     """
     path = os.path.join(REPO, "BASELINE_MEASURED.json")
+    if not os.path.exists(path) and os.path.isdir("/root/reference"):
+        _log("bench: measuring the reference CPU baseline (one-time, ~1 min)")
+        import subprocess
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "tools",
+                                     "measure_reference_baseline.py")],
+                       timeout=1800, check=False)
     if os.path.exists(path):
         with open(path) as f:
             return json.load(f)["walker_steps_per_sec_3threads"]
@@ -171,9 +180,8 @@ def main() -> None:
         "value": round(value, 3),
         "unit": "walker-steps/s (256 walkers, 4 runs, 200k draws/eval)",
         "vs_baseline": round(value / baseline, 2) if baseline else None,
+        "mfu_pct_v5e_bf16_peak": round(100 * mfu, 3),
     }
-    if mfu is not None:
-        out["mfu_pct_v5e_bf16_peak"] = round(100 * mfu, 3)
     print(json.dumps(out))
 
 

@@ -31,6 +31,11 @@ def posterior_fingerprint(problem, observed) -> np.ndarray:
     h.update(problem.spec.xs_mode.encode())
     h.update(problem.spec.bg_mode.encode())
     h.update(getattr(problem, "likelihood", "reference").encode())
+    # forward binnings (a -hardcore checkpoint resumed without -hardcore
+    # has identical windows/observed but a different forward grid)
+    for b in (problem.spec.ed_binning, problem.spec.x_binning):
+        h.update(np.float64([b.lo, b.hi, b.n]).tobytes())
+    h.update(np.int64(problem.spec.e0_grid_fine).tobytes())
     for o in observed:
         h.update(np.ascontiguousarray(np.asarray(o, np.float64)).tobytes())
     return np.frombuffer(h.digest(), np.uint8).copy()
@@ -62,8 +67,8 @@ def load_resume_state(path, problem, observed, logp_batch):
     return state
 
 
-def run_phases(state, phases, logp_batch, *, n_walkers: int, segment: int,
-               prefix: str, fingerprint=None):
+def run_phases(state, phases, logp_batch, *, n_walkers: int = 0,
+               segment: int, prefix: str, fingerprint=None):
     """Drive the sampler through (name, chain_path, n_steps, truncate)
     phases, streaming chain text per segment and checkpointing per phase.
 
@@ -89,6 +94,9 @@ def run_phases(state, phases, logp_batch, *, n_walkers: int, segment: int,
             jitted[seg] = fn
         return fn(s)
 
+    # the authoritative walker count is the state's (a resumed checkpoint
+    # may carry a different ensemble size than this invocation's flags)
+    n_walkers = int(state.positions.shape[0])
     extra = None if fingerprint is None else {"posterior_fp": fingerprint}
     t0 = time.time()
     total_steps = 0

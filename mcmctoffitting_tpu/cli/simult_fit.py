@@ -148,7 +148,7 @@ def main(argv=None) -> dict:
         print(f"  {name} = {med:.4g} +{hi:.3g} -{lo:.3g}")
         result[name] = [float(med), float(hi), float(lo)]
 
-    rate = total_steps * n_walkers / elapsed
+    rate = total_steps * int(state.positions.shape[0]) / elapsed
     print(json.dumps({"walker_steps_per_sec": rate, "elapsed_s": elapsed}))
 
     if not args.batch:

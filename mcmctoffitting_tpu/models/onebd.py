@@ -139,8 +139,11 @@ class OneBDProblem:
                                np.full(self.n_runs, BG_HI)])
 
     def initial_walkers_from_observed(self, key, n_walkers, observed,
-                                      guesses=(1300.0, 80.0, 0.6),
-                                      bg_guess: float = 20.0):
+                                      guesses=(700.0, 100.0, 0.5),
+                                      bg_guess: float = 10.0):
+        # default guesses mirror the reference driver exactly
+        # (tests/csi_oneBD.py:731-752: eLoss 700 'based on SRIM ish',
+        # scale 100, s 0.5, bg 10, norms 5*sum(observedTOF))
         # the model spectrum is scale * density-pdf (pdf sums to 1/binwidth
         # = 1/4 for 4 ns bins), so the true per-run scale is ~4-5x the
         # observed total; the reference seeds with 5*sum(observedTOF)

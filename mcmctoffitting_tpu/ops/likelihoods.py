@@ -59,8 +59,12 @@ def poisson_binned_loglike(model_counts, observed_counts, *,
     poi = (-obs_c - gammaln(jnp.floor(model_c) + 1.0)
            + jnp.where(model_c > 0, model_c * jnp.log(obs_c), 0.0))
     contrib = obs_c * poi
-    if nan_guard:
-        contrib = jnp.where(jnp.isnan(model), -jnp.inf, contrib)
+    # NaN model bins: per-bin -inf under the oneBD guard, otherwise let the
+    # NaN propagate so the final total->-inf guard fires (simultFit's
+    # whole-eval NaN->-inf semantics; without this the sanitized model=1
+    # above would silently launder NaN into a finite value)
+    contrib = jnp.where(jnp.isnan(model),
+                        -jnp.inf if nan_guard else jnp.nan, contrib)
     total = jnp.sum(contrib)
     return jnp.where(jnp.isnan(total), -jnp.inf, total)
 

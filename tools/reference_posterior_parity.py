@@ -52,7 +52,8 @@ N_MAIN = 200
 # samplers equally; see _initial_walkers for how the comparison handles
 # that.
 TRUTH = np.concatenate([[1878.4, 850.0, 170.0, 0.5], [5e3] * N_RUNS])
-PARAM_NAMES = ["beamE", "eLoss", "scale", "s", "N1", "N2", "N3", "N4"]
+PARAM_NAMES = (["beamE", "eLoss", "scale", "s"]
+               + [f"N{i + 1}" for i in range(N_RUNS)])
 
 
 def _load_reference_modules():
@@ -103,8 +104,9 @@ def make_reference_lnprob(ref, observed):
     standoffs = [distances.tunlSSA_CsI.standoffMid,
                  distances.tunlSSA_CsI.standoffClose,
                  distances.tunlSSA_CsI.standoffClose,
-                 distances.tunlSSA_CsI.standoffFar][:N_RUNS]
-    run_names = ["mid", "close", "close", "far"][:N_RUNS]
+                 distances.tunlSSA_CsI.standoffFar,
+                 distances.tunlSSA_CsI.standoff_TUNLruns][:N_RUNS]
+    run_names = ["mid", "close", "close", "far", "production"][:N_RUNS]
 
     # parameter bounds (tests/simultFit.py:425-435)
     lo_b = np.array([1825.0, 600.0, 40.0, 0.1] + [0.0] * N_RUNS)
@@ -186,12 +188,17 @@ def make_reference_lnprob(ref, observed):
     return lnprob
 
 
-def numpy_stretch_sampler(rng, logp, p0, n_steps, a=2.0, label=""):
+def numpy_stretch_sampler(rng, logp, p0, n_steps, a=2.0, label="",
+                          lp0=None):
     """Independent Goodman-Weare stretch sampler (emcee semantics; same
-    implementation as tests/test_sampler_parity.py's oracle)."""
+    implementation as tests/test_sampler_parity.py's oracle).  ``lp0``
+    carries retained log-probs across phases — matching our sampler's
+    continued EnsembleState (re-evaluating would hand the sticky
+    pseudo-marginal chain a free refresh at the phase boundary)."""
     pos = np.array(p0, dtype=np.float64)
     n_walkers, n_dim = pos.shape
-    lp = np.array([logp(x) for x in pos])
+    lp = (np.array([logp(x) for x in pos]) if lp0 is None
+          else np.array(lp0, dtype=np.float64))
     chain = np.empty((n_steps, n_walkers, n_dim))
     lps = np.empty((n_steps, n_walkers))
     n_acc = 0
@@ -225,9 +232,9 @@ def _initial_walkers(rng, observed):
     logp noise makes ensemble acceptance decay as the ensemble tightens
     (record statistics of the per-eval noise); both samplers share the
     estimator so the comparison stays apples-to-apples, but median
-    standard errors are large — tolerances in report() are set
-    accordingly, and the exactness of the posterior itself is pinned
-    separately by the expected-forward cross-checks (RESULTS_r2.md)."""
+    standard errors are large there — report() prints an ADVISORY
+    verdict only (no hard gate); the sharp comparison is the
+    PARITY_LIKELIHOOD=poisson mode (see module docstring)."""
     guesses = np.concatenate([TRUTH[:4],
                               [float(np.sum(o)) for o in observed]])
     agit = np.concatenate([[10.0, 50.0, 20.0, 0.1], 0.15 * guesses[4:]])
@@ -261,10 +268,11 @@ def run_reference():
     rng = np.random.default_rng(7)
     p0 = _initial_walkers(rng, observed)
     t0 = time.time()
-    _burn, _, acc_b = numpy_stretch_sampler(rng, lnprob, p0, N_BURNIN,
-                                            label="ref burn-in: ")
+    _burn, _blps, acc_b = numpy_stretch_sampler(rng, lnprob, p0, N_BURNIN,
+                                                label="ref burn-in: ")
     chain, lps, acc = numpy_stretch_sampler(rng, lnprob, _burn[-1], N_MAIN,
-                                            label="ref main: ")
+                                            label="ref main: ",
+                                            lp0=_blps[-1])
     np.savez(os.path.join(OUT, "reference_chain.npz"), chain=chain,
              lps=lps, acc=acc, elapsed=time.time() - t0)
     print(f"reference done in {time.time() - t0:.0f}s, acc={acc:.2f}")
@@ -326,8 +334,12 @@ def report():
         worst = max(worst, abs(dz))
         lines.append(f"{name:>6} {rq[1]:11.4g} {rs:9.3g} "
                      f"{oq[1]:11.4g} {os_:9.3g} {dz:6.2f}")
+    verdict = "PASS" if worst < 1.0 else "REVIEW"
     lines.append(f"worst |dz| = {worst:.2f} "
-                 "(medians in pooled posterior-sigma units)")
+                 "(medians in pooled posterior-sigma units) -> "
+                 f"{verdict} (advisory threshold 1.0; under the faithful "
+                 "sawtooth likelihood the frozen-ensemble sigmas make dz "
+                 "overly strict — see RESULTS_r2.md)")
     text = "\n".join(lines)
     print(text)
     with open(os.path.join(OUT, "report.txt"), "w") as f:
