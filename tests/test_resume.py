@@ -98,3 +98,26 @@ def test_resume_legacy_checkpoint_without_fingerprint(tmp_path, capsys):
     restored = load_resume_state(path, problem, observed, logp_batch)
     assert "fingerprint does not match" in capsys.readouterr().out
     assert np.isfinite(np.asarray(restored.log_probs)).all()
+
+
+def test_fingerprint_covers_forward_binnings():
+    """A -hardcore checkpoint resumed without -hardcore has identical
+    windows/observed; the fingerprint must still differ (the forward
+    grid changed under the stored log-probs)."""
+    import jax
+    import numpy as np
+
+    from mcmctoffitting_tpu.cli._driver import posterior_fingerprint
+    from mcmctoffitting_tpu.models import onebd
+    from mcmctoffitting_tpu.utils import data_io
+
+    prob_default = onebd.OneBDProblem(
+        onebd.default_spec(n_samples=2000), n_runs=2)
+    prob_hardcore = onebd.OneBDProblem(
+        onebd.default_spec(n_samples=2000, hardcore=True), n_runs=2)
+    truth = np.array([1300.0, 80.0, 0.6, 5e4, 5e4, 20.0, 20.0])
+    observed = data_io.synthesize_observed(jax.random.PRNGKey(0),
+                                           prob_default, truth)
+    fp_a = posterior_fingerprint(prob_default, observed)
+    fp_b = posterior_fingerprint(prob_hardcore, observed)
+    assert not np.array_equal(fp_a, fp_b)
