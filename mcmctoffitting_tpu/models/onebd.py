@@ -61,9 +61,11 @@ def default_spec(n_samples: int = 200_000, *,
     ed_bins, x_bins = (400, 20) if hardcore else (100, 10)
     e0_grid_table = None
     # default F=512: boundary-split error stays noise-dominated (see
-    # tests/test_e0grid.py); hardcore keeps 2048 (5 keV eD bins -> ~1 keV
-    # preimage cells need the resolution)
-    e0_grid_fine = 2048 if hardcore else 512
+    # tests/test_e0grid.py); hardcore F=1024 keeps the mis-assignment
+    # noise at <=25% of each bin's own MC noise (+3% effective per-bin
+    # sigma) — measured barely better at 2048 (0.18 vs 0.25 ratio) for
+    # 2x the moment-dot cost
+    e0_grid_fine = 1024 if hardcore else 512
     if xs_mode == "e0grid":
         from ..ops.e0grid import cached_e0_grid_table
         from ..ops.xs import ddn_xs_uniform

@@ -43,7 +43,7 @@ def _draws(seed, n, beam_e=1878.4, e_loss=850.0, scale=170.0, s=0.5):
 
 @pytest.mark.parametrize("preset,max_counts",
                          [("simult", 1.0), ("onebd", 1.2),
-                          ("onebd_hardcore", 3.0)])
+                          ("onebd_hardcore", 4.0)])
 def test_operator_matches_exact_grid(preset, max_counts):
     n = 100_000
     if preset == "simult":
