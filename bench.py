@@ -62,6 +62,15 @@ def measure_tpu() -> tuple[float, float]:
     if hist_chunk:
         import dataclasses
         spec = dataclasses.replace(spec, histogram_chunk=hist_chunk)
+    fine = int(os.environ.get("BENCH_FINE", "0"))
+    if fine and spec.xs_mode == "e0grid":
+        import dataclasses
+        from mcmctoffitting_tpu.ops.e0grid import cached_e0_grid_table
+        from mcmctoffitting_tpu.ops.xs import ddn_xs_uniform
+        spec = dataclasses.replace(
+            spec, e0_grid_fine=fine,
+            e0_grid_table=cached_e0_grid_table(
+                spec.stopping_table, spec.ed_binning, ddn_xs_uniform, fine))
     problem = simult.SimultFitProblem(spec, n_runs=N_RUNS)
     key = jax.random.PRNGKey(0)
     truth = np.concatenate([simult.GUESS_SHARED, np.full(N_RUNS, 5.0e4)])
