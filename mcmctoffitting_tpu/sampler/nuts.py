@@ -47,6 +47,7 @@ class NUTSChain:
     tree_depth: jax.Array    # (S, C) doublings performed
     diverging: jax.Array     # (S, C) bool
     step_size: float
+    inv_mass: jax.Array = None  # (D,) adapted diagonal inverse mass
 
 
 class _TreeState(NamedTuple):
@@ -74,21 +75,30 @@ class _TreeState(NamedTuple):
 
 
 def _transition(logp_grad_fn: Callable, z, lp, grad, key, step_size,
-                max_depth: int):
+                max_depth: int, inv_mass=None):
     """One NUTS transition for a single chain.  Returns
-    (z, lp, grad, accept_stat, depth, diverged)."""
+    (z, lp, grad, accept_stat, depth, diverged).
+
+    ``inv_mass``: (D,) diagonal inverse mass matrix (None = identity).
+    Momenta are drawn r ~ N(0, M); the kinetic energy is r^T M^-1 r / 2,
+    the leapfrog position update uses the velocity M^-1 r, and the U-turn
+    criterion compares momentum sums against VELOCITIES (Stan's
+    Euclidean-metric generalization)."""
     n_dim = z.shape[-1]
     # the doubling loop runs while depth < max_depth, so the LARGEST
     # subtree ever built has 2^(max_depth-1) leaves
     n_leaf_max = 1 << (max_depth - 1)
+    if inv_mass is None:
+        inv_mass = jnp.ones(n_dim)
+    sqrt_mass = 1.0 / jnp.sqrt(inv_mass)
 
     k_mom, k_loop = jax.random.split(key)
-    r0 = jax.random.normal(k_mom, (n_dim,))
-    h0 = lp - 0.5 * jnp.dot(r0, r0)
+    r0 = sqrt_mass * jax.random.normal(k_mom, (n_dim,))
+    h0 = lp - 0.5 * jnp.dot(r0, inv_mass * r0)
 
     def leapfrog(z, r, g, eps):
         r1 = r + 0.5 * eps * g
-        z1 = z + eps * r1
+        z1 = z + eps * (inv_mass * r1)
         lp1, g1 = logp_grad_fn(z1)
         r1 = r1 + 0.5 * eps * g1
         return z1, r1, g1, lp1
@@ -115,7 +125,7 @@ def _transition(logp_grad_fn: Callable, z, lp, grad, key, step_size,
 
         def leaf_step(i, st):
             z, r, g, lp = leapfrog(st["z"], st["r"], st["g"], eps)
-            lw = (lp - 0.5 * jnp.dot(r, r)) - h0
+            lw = (lp - 0.5 * jnp.dot(r, inv_mass * r)) - h0
             lw = jnp.where(jnp.isnan(lw), -jnp.inf, lw)
             diverged = lw < -_DIVERGENCE_THRESHOLD
 
@@ -139,8 +149,8 @@ def _transition(logp_grad_fn: Callable, z, lp, grad, key, step_size,
                 s = jnp.maximum(i - size + 1, 0)
                 rho_int = rho_pre[i + 1] - rho_pre[s]
                 r_a = r_buf[s]
-                turn_k = ((jnp.dot(rho_int, r_a) < 0)
-                          | (jnp.dot(rho_int, r) < 0))
+                turn_k = ((jnp.dot(rho_int, inv_mass * r_a) < 0)
+                          | (jnp.dot(rho_int, inv_mass * r) < 0))
                 turning = turning | (applicable & turn_k)
 
             return dict(
@@ -214,8 +224,8 @@ def _transition(logp_grad_fn: Callable, z, lp, grad, key, step_size,
         log_sum_w = upd(jnp.logaddexp(ts.log_sum_w, sub["lsw"]),
                         ts.log_sum_w)
 
-        turning_top = ((jnp.dot(rho, r_minus) < 0)
-                       | (jnp.dot(rho, r_plus) < 0))
+        turning_top = ((jnp.dot(rho, inv_mass * r_minus) < 0)
+                       | (jnp.dot(rho, inv_mass * r_plus) < 0))
         return _TreeState(
             z_minus, r_minus, g_minus, z_plus, r_plus, g_plus,
             z_prop, lp_prop, g_prop, log_sum_w, rho,
@@ -236,45 +246,80 @@ def _transition(logp_grad_fn: Callable, z, lp, grad, key, step_size,
 def nuts_sample(key, p0, n_steps: int, log_prob_fn: Callable, *,
                 n_warmup: int = 300, max_depth: int = 8,
                 init_step_size: float = 0.1,
-                target_accept: float = 0.8) -> NUTSChain:
+                target_accept: float = 0.8,
+                adapt_mass: bool = True) -> NUTSChain:
     """Run C parallel NUTS chains.  p0: (C, D).
 
-    Warm-up adapts the step size by dual averaging on the mean leaf
-    acceptance statistic (Hoffman-Gelman); sampling keeps it fixed.
-    Identity mass matrix — standardize parameters beforehand.
+    Warm-up (Stan-style windows): (1) dual-averaging step-size adaptation
+    under the identity metric for ~half the budget, (2) a collection
+    window estimating the per-dimension posterior variance, (3) a second
+    dual-averaging run under the adapted diagonal metric.  Sampling keeps
+    both fixed.  ``adapt_mass=False`` restores the single-window identity
+    -metric warm-up (standardize parameters beforehand in that case).
     """
     p0 = jnp.asarray(p0, dtype=jnp.float32)
-    n_chains, _ = p0.shape
+    n_chains, n_dim = p0.shape
     logp_grad = jax.value_and_grad(log_prob_fn)
     lp0, g0 = jax.vmap(logp_grad)(p0)
 
-    vtrans = jax.vmap(_transition, in_axes=(None, 0, 0, 0, 0, None, None))
+    vtrans = jax.vmap(_transition,
+                      in_axes=(None, 0, 0, 0, 0, None, None, None))
 
-    def one_step(z, lp, g, eps, step_key):
+    def one_step(z, lp, g, eps, step_key, inv_mass):
         keys = jax.random.split(step_key, n_chains)
-        return vtrans(logp_grad, z, lp, g, keys, eps, max_depth)
+        return vtrans(logp_grad, z, lp, g, keys, eps, max_depth, inv_mass)
 
     # --- dual-averaging warm-up: one scanned program (sampler/_adapt.py)
     from ._adapt import dual_averaging_warmup
 
-    def warm_step(state, eps, k):
-        z, lp, g = state
-        z, lp, g, alpha, _, _ = one_step(z, lp, g, eps, k)
-        return (z, lp, g), alpha
+    def make_warm_step(inv_mass):
+        def warm_step(state, eps, k):
+            z, lp, g = state
+            z, lp, g, alpha, _, _ = one_step(z, lp, g, eps, k, inv_mass)
+            return (z, lp, g), alpha
+        return warm_step
 
-    (z, lp, g), eps = dual_averaging_warmup(
-        key, (p0, lp0, g0), warm_step, n_warmup, init_step_size,
-        target_accept)
+    inv_mass = jnp.ones(n_dim)
+    if adapt_mass:
+        n_w1 = max(20, n_warmup // 2)
+        n_collect = max(20, n_warmup // 4)
+        n_w2 = max(20, n_warmup - n_w1 - n_collect)
+        (z, lp, g), eps1 = dual_averaging_warmup(
+            key, (p0, lp0, g0), make_warm_step(inv_mass), n_w1,
+            init_step_size, target_accept)
+
+        # collection window: per-dimension posterior variance -> metric
+        def collect_step(carry, step_key):
+            z, lp, g = carry
+            z, lp, g, _, _, _ = one_step(z, lp, g, eps1, step_key,
+                                         inv_mass)
+            return (z, lp, g), z
+        ckeys = jax.random.split(jax.random.fold_in(key, 777), n_collect)
+        (z, lp, g), zs_c = jax.lax.scan(collect_step, (z, lp, g), ckeys)
+        flat = zs_c.reshape(-1, n_dim)
+        var = jnp.var(flat, axis=0)
+        n_eff = flat.shape[0]
+        # Stan's regularization toward unit scale
+        inv_mass = (var * n_eff / (n_eff + 5.0)
+                    + 1e-3 * 5.0 / (n_eff + 5.0))
+
+        (z, lp, g), eps = dual_averaging_warmup(
+            jax.random.fold_in(key, 888), (z, lp, g),
+            make_warm_step(inv_mass), n_w2, float(eps1), target_accept)
+    else:
+        (z, lp, g), eps = dual_averaging_warmup(
+            key, (p0, lp0, g0), make_warm_step(inv_mass), n_warmup,
+            init_step_size, target_accept)
     step_size = float(eps)
 
     # --- sampling: one scan program ---
     def scan_step(carry, step_key):
         z, lp, g = carry
         z, lp, g, alpha, depth, div = one_step(
-            z, lp, g, jnp.float32(step_size), step_key)
+            z, lp, g, jnp.float32(step_size), step_key, inv_mass)
         return (z, lp, g), (z, lp, alpha, depth, div)
 
     keys = jax.random.split(jax.random.fold_in(key, 999_999), n_steps)
     _, (zs, lps, alphas, depths, divs) = jax.lax.scan(
         scan_step, (z, lp, g), keys)
-    return NUTSChain(zs, lps, alphas, depths, divs, step_size)
+    return NUTSChain(zs, lps, alphas, depths, divs, step_size, inv_mass)

@@ -164,3 +164,29 @@ def test_nuts_gradients_on_flagship_posterior():
     assert abs(np.median(diff) - 1028.4) < 5.0
     # the ridge itself is wide (the sawtooth's false +-1 keV is gone)
     assert np.std(z[:, 0]) > 8.0
+
+
+def test_mass_matrix_adaptation_handles_anisotropy():
+    """Scales (1, 0.05) without manual standardization: the windowed
+    warm-up must estimate the diagonal metric and recover both scales;
+    with adapt_mass=False the identity metric needs far deeper trees."""
+    def logp(x):
+        return -0.5 * (x[0] ** 2 + (x[1] / 0.05) ** 2)
+
+    key = jax.random.PRNGKey(11)
+    p0 = jax.random.normal(key, (4, 2)) * jnp.asarray([1.0, 0.05])
+    chain = nuts_sample(jax.random.fold_in(key, 1), p0, 600, logp,
+                        n_warmup=300, max_depth=8)
+    z = _flat(chain, burn=100)
+    assert abs(z[:, 0].std() - 1.0) < 0.15
+    assert abs(z[:, 1].std() - 0.05) < 0.01
+    # the adapted metric should be ~the marginal variances
+    im = np.asarray(chain.inv_mass)
+    assert 0.4 < im[0] < 2.5
+    assert 0.4 < im[1] / 0.05 ** 2 < 2.5
+    # with the metric, trajectories need not resolve the 20:1 ratio
+    depth_adapted = float(np.mean(np.asarray(chain.tree_depth)))
+    chain_id = nuts_sample(jax.random.fold_in(key, 2), p0, 200, logp,
+                           n_warmup=200, max_depth=8, adapt_mass=False)
+    depth_identity = float(np.mean(np.asarray(chain_id.tree_depth)))
+    assert depth_adapted < depth_identity, (depth_adapted, depth_identity)
