@@ -35,14 +35,17 @@ def dual_averaging_warmup(key, state, one_step: Callable, n_warmup: int,
         k = jax.random.fold_in(key, i)
         state, alpha = one_step(state, jnp.exp(log_eps), k)
         a = jnp.mean(alpha)
-        frac = 1.0 / (i + 1.0 + _T0)
+        t = i.astype(jnp.float32) + 1.0
+        frac = 1.0 / (t + _T0)
         h_bar = (1.0 - frac) * h_bar + frac * (target_accept - a)
-        log_eps = mu - jnp.sqrt(i + 1.0) / _GAMMA * h_bar
-        eta = (i + 1.0) ** -_KAPPA
+        log_eps = mu - jnp.sqrt(t) / _GAMMA * h_bar
+        eta = t ** -_KAPPA
         log_eps_bar = eta * log_eps + (1.0 - eta) * log_eps_bar
         return (state, log_eps, log_eps_bar, h_bar), None
 
+    # log_eps_bar starts at log_eps0 so n_warmup=0 returns init_step_size
+    # (not exp(0)); indices scan as int32 (exact for any n_warmup)
     (state, _, log_eps_bar, _), _ = jax.lax.scan(
-        body, (state, log_eps0, jnp.float32(0.0), jnp.float32(0.0)),
-        jnp.arange(n_warmup, dtype=jnp.float32))
+        body, (state, log_eps0, log_eps0, jnp.float32(0.0)),
+        jnp.arange(n_warmup, dtype=jnp.int32))
     return state, jnp.exp(log_eps_bar)

@@ -279,13 +279,18 @@ def nuts_sample(key, p0, n_steps: int, log_prob_fn: Callable, *,
             return (z, lp, g), alpha
         return warm_step
 
+    # dedicated subkeys per warm-up window: deriving them with small
+    # fold_in constants would collide with dual_averaging_warmup's own
+    # per-iteration fold_in(key, i) namespace on the same base key
+    k_w1, k_collect, k_w2, k_main = jax.random.split(key, 4)
     inv_mass = jnp.ones(n_dim)
-    if adapt_mass:
-        n_w1 = max(20, n_warmup // 2)
-        n_collect = max(20, n_warmup // 4)
-        n_w2 = max(20, n_warmup - n_w1 - n_collect)
+    if adapt_mass and n_warmup >= 60:
+        # windows clamp to the requested budget (~50% / 25% / 25%)
+        n_w1 = n_warmup // 2
+        n_collect = n_warmup // 4
+        n_w2 = n_warmup - n_w1 - n_collect
         (z, lp, g), eps1 = dual_averaging_warmup(
-            key, (p0, lp0, g0), make_warm_step(inv_mass), n_w1,
+            k_w1, (p0, lp0, g0), make_warm_step(inv_mass), n_w1,
             init_step_size, target_accept)
 
         # collection window: per-dimension posterior variance -> metric
@@ -294,21 +299,26 @@ def nuts_sample(key, p0, n_steps: int, log_prob_fn: Callable, *,
             z, lp, g, _, _, _ = one_step(z, lp, g, eps1, step_key,
                                          inv_mass)
             return (z, lp, g), z
-        ckeys = jax.random.split(jax.random.fold_in(key, 777), n_collect)
+        ckeys = jax.random.split(k_collect, n_collect)
         (z, lp, g), zs_c = jax.lax.scan(collect_step, (z, lp, g), ckeys)
-        flat = zs_c.reshape(-1, n_dim)
-        var = jnp.var(flat, axis=0)
-        n_eff = flat.shape[0]
+        # WITHIN-chain variance averaged over chains (pooled variance
+        # would inflate the metric with between-chain dispersion from
+        # unmixed/multimodal ensembles — Stan uses within-chain too)
+        var = jnp.mean(jnp.var(zs_c, axis=0), axis=0)
+        n_eff = n_collect
         # Stan's regularization toward unit scale
         inv_mass = (var * n_eff / (n_eff + 5.0)
                     + 1e-3 * 5.0 / (n_eff + 5.0))
 
         (z, lp, g), eps = dual_averaging_warmup(
-            jax.random.fold_in(key, 888), (z, lp, g),
-            make_warm_step(inv_mass), n_w2, float(eps1), target_accept)
+            k_w2, (z, lp, g), make_warm_step(inv_mass), n_w2,
+            float(eps1), target_accept)
     else:
+        if adapt_mass and n_warmup > 0:
+            print("nuts_sample: n_warmup < 60 — skipping mass adaptation "
+                  "(identity metric)")
         (z, lp, g), eps = dual_averaging_warmup(
-            key, (p0, lp0, g0), make_warm_step(inv_mass), n_warmup,
+            k_w1, (p0, lp0, g0), make_warm_step(inv_mass), n_warmup,
             init_step_size, target_accept)
     step_size = float(eps)
 
@@ -319,7 +329,7 @@ def nuts_sample(key, p0, n_steps: int, log_prob_fn: Callable, *,
             z, lp, g, jnp.float32(step_size), step_key, inv_mass)
         return (z, lp, g), (z, lp, alpha, depth, div)
 
-    keys = jax.random.split(jax.random.fold_in(key, 999_999), n_steps)
+    keys = jax.random.split(k_main, n_steps)
     _, (zs, lps, alphas, depths, divs) = jax.lax.scan(
         scan_step, (z, lp, g), keys)
     return NUTSChain(zs, lps, alphas, depths, divs, step_size, inv_mass)
