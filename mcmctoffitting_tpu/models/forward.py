@@ -165,9 +165,6 @@ class ForwardSpec:
     # and the kernel is kept as the explicitly-scheduled alternative.
     use_pallas: bool = False
 
-    def ed_centers(self) -> np.ndarray:
-        return self.ed_binning.centers
-
     def en_centers(self) -> np.ndarray:
         return dd_neutron_energy_np(self.ed_binning.centers)
 
@@ -332,7 +329,7 @@ def grid_and_mean(spec: ForwardSpec, params, key):
         raise ValueError(f"unknown sampling mode {spec.sampling!r} "
                          "(expected 'mc' or 'expected')")
     e_zeros = sample_beam_energies(key, spec, params)
-    grid, _ = energy_weight_grid(spec, e_zeros)
+    grid = energy_weight_grid(spec, e_zeros)
     if spec.e0_mean_mode == "expected":
         if spec.beam_source != "lognorm":
             raise ValueError("e0_mean_mode='expected' requires the "
@@ -367,7 +364,6 @@ def energy_weight_grid(spec: ForwardSpec, e_zeros):
     if spec.xs_mode == "e0grid":
         _validate_e0grid_table(spec)
         grid = _e0grid_weight_grid(spec, e_zeros)
-        e_at_x = None
     elif (spec.xs_mode == "taylor" and hasattr(spec.xs, "eval_np")
             and spec.use_pallas and spec.transport == "rk4"):
         from ..ops.pallas_forward import fused_transport_moments
@@ -377,7 +373,6 @@ def energy_weight_grid(spec: ForwardSpec, e_zeros):
             n_blk=min(spec.histogram_chunk, 4096))       # (M, 4, Be)
         taylor = _taylor_coeffs(spec)
         grid = jnp.sum(moments * jnp.asarray(taylor, jnp.float32), axis=-2)
-        e_at_x = None
     elif spec.xs_mode == "taylor" and hasattr(spec.xs, "eval_np"):
         e0_c, valid_c = _chunk_with_mask(e_zeros, spec.histogram_chunk,
                                          eb.lo)
@@ -434,7 +429,6 @@ def energy_weight_grid(spec: ForwardSpec, e_zeros):
         taylor = _taylor_coeffs(spec)
         grid = jnp.sum(moments * jnp.asarray(taylor, jnp.float32),
                        axis=-2)                          # (M, Be)
-        e_at_x = None
     else:
         e_at_x = _transport_all(spec, e_zeros)  # (M, N)
         w = spec.xs(e_at_x)
@@ -443,7 +437,7 @@ def energy_weight_grid(spec: ForwardSpec, e_zeros):
 
     if spec.cell_attenuation:
         grid = _apply_attenuation(spec, grid)
-    return grid, e_at_x
+    return grid
 
 
 def _validate_e0grid_table(spec: ForwardSpec) -> None:
@@ -469,6 +463,23 @@ def _validate_e0grid_table(spec: ForwardSpec) -> None:
             f"[{getattr(tab, 'ed_lo', '?')}, {getattr(tab, 'ed_hi', '?')}] "
             f"keV) grid; spec has ({xb.n} x, {eb.n} eD, "
             f"[{eb.lo}, {eb.hi}] keV)")
+
+
+def _zero_degree_spread(spec: ForwardSpec):
+    """(times, weights) of the 10-segment zero-degree transit spread at
+    every eN bin center (simultFit era, ``utilities/utilities.py:154``)."""
+    zd = ZeroDegreeTimingSpread(length=spec.geometry.zero_deg_length)
+    return zd.times_and_weights(
+        jnp.asarray(spec.en_centers(), dtype=jnp.float32))  # (Be, K) x2
+
+
+def _add_background(spec: ForwardSpec, spectrum, bg_level, key, n_bins):
+    """Per-run background: fresh Poisson draw (faithful,
+    ``tests/csi_oneBD.py:521``) or its expectation (bg_mode='expected')."""
+    if spec.bg_mode == "expected":
+        return spectrum + bg_level
+    return spectrum + jax.random.poisson(
+        key, bg_level, (n_bins,)).astype(spectrum.dtype)
 
 
 def cell_tof_lattice(spec: ForwardSpec, standoff: float, e0_mean):
@@ -528,9 +539,7 @@ def tof_spectrum(key, params, spec: ForwardSpec, standoff: float,
     base_tof = cell_tof_lattice(spec, standoff, e0_mean)  # (M, Be)
 
     if spec.zero_degree == "segments":
-        zd = ZeroDegreeTimingSpread(length=spec.geometry.zero_deg_length)
-        zt, zw = zd.times_and_weights(
-            jnp.asarray(spec.en_centers(), dtype=jnp.float32))  # (Be, K)
+        zt, zw = _zero_degree_spread(spec)                # (Be, K) x2
         values = base_tof[:, :, None] + zt[None, :, :]
         weights = draws[:, :, None] * zw[None, :, :]
     else:
@@ -548,11 +557,7 @@ def tof_spectrum(key, params, spec: ForwardSpec, standoff: float,
 
     out = scale * spec.beam_timing.apply_spreading(hist)
     if bg_level is not None:
-        if spec.bg_mode == "expected":
-            out = out + bg_level
-        else:
-            out = out + jax.random.poisson(
-                k_bg, bg_level, (window.n_bins,)).astype(out.dtype)
+        out = _add_background(spec, out, bg_level, k_bg, window.n_bins)
 
     if return_spectra:
         en_at_x = draws  # weight per (x, eD) cell == neutron yield spectrum
@@ -594,7 +599,7 @@ def tof_spectra_multi(run_keys, params, spec: ForwardSpec,
     else:
         e_zeros = jax.vmap(lambda k: sample_beam_energies(
             k, spec, params))(jnp.stack(draw_keys))       # (R, N)
-        grids, _ = jax.vmap(lambda e: energy_weight_grid(spec, e))(e_zeros)
+        grids = jax.vmap(lambda e: energy_weight_grid(spec, e))(e_zeros)
         e0_means = jnp.mean(e_zeros, axis=-1)             # (R,)
     area = spec.ed_binning.width * spec.x_binning.width
     grids = grids / (jnp.sum(grids, axis=(1, 2), keepdims=True) * area)
@@ -607,9 +612,7 @@ def tof_spectra_multi(run_keys, params, spec: ForwardSpec,
     base_tof = jax.vmap(lambda so, e0m: cell_tof_lattice(spec, so, e0m))(
         jnp.asarray(standoffs, jnp.float32), e0_means)    # (R, M, Be)
     if spec.zero_degree == "segments":
-        zd = ZeroDegreeTimingSpread(length=spec.geometry.zero_deg_length)
-        zt, zw = zd.times_and_weights(
-            jnp.asarray(spec.en_centers(), dtype=jnp.float32))  # (Be, K)
+        zt, zw = _zero_degree_spread(spec)                # (Be, K) x2
         values = base_tof[..., None] + zt                 # (R, M, Be, K)
         weights = draws[..., None] * zw
     else:
@@ -638,11 +641,7 @@ def tof_spectra_multi(run_keys, params, spec: ForwardSpec,
         win = windows[r]
         spectrum = scales[r] * hist[r, : win.n_bins]
         if bg_levels is not None:
-            if spec.bg_mode == "expected":
-                spectrum = spectrum + bg_levels[r]
-            else:
-                spectrum = spectrum + jax.random.poisson(
-                    bg_keys[r], bg_levels[r], (win.n_bins,)).astype(
-                        spectrum.dtype)
+            spectrum = _add_background(spec, spectrum, bg_levels[r],
+                                       bg_keys[r], win.n_bins)
         out.append(spectrum)
     return tuple(out)

@@ -62,7 +62,7 @@ def template_spectrum(key, e_lo: float, e_hi: float, spec: ForwardSpec,
     zero-degree spread, density-normalized, beam-timing convolved)."""
     e_zeros = jax.random.uniform(key, (spec.n_samples,), minval=e_lo,
                                  maxval=e_hi)
-    grid, _ = energy_weight_grid(spec, e_zeros)
+    grid = energy_weight_grid(spec, e_zeros)
     area = spec.ed_binning.width * spec.x_binning.width
     grid = grid / (jnp.sum(grid) * area)
     draws = jnp.rint(grid * spec.n_samples)

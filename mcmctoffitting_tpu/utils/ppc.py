@@ -111,7 +111,7 @@ class PPCSampler:
             d, theta = args
             k_d = jax.random.fold_in(key, 1 + d)
             ez = sample_beam_energies(k_d, spec, self._shared4(theta))
-            grid, _ = energy_weight_grid(spec, ez)
+            grid = energy_weight_grid(spec, ez)
             return grid
 
         return jax.lax.map(one, (d_idx, thetas))

@@ -90,9 +90,7 @@ def test_device_matches_host_reference():
     n = 50_000
     spec = simult.default_spec(n_samples=n, xs_mode="e0grid")
     e0 = _draws(3, n).astype(np.float32)
-    grid_dev, e_at_x = jax.jit(
-        lambda e: energy_weight_grid(spec, e))(e0)
-    assert e_at_x is None
+    grid_dev = jax.jit(lambda e: energy_weight_grid(spec, e))(e0)
     grid_host = e0grid_apply_np(spec.e0_grid_table, e0)
     np.testing.assert_allclose(np.asarray(grid_dev), grid_host,
                                rtol=2e-4, atol=2e-3 * grid_host.max())
@@ -105,8 +103,8 @@ def test_device_onebd_attenuation_applied():
     assert spec.cell_attenuation and spec_plain.cell_attenuation
     e0 = _draws(4, n, beam_e=2490.0, e_loss=1300.0, scale=80.0,
                 s=0.6).astype(np.float32)
-    g_new, _ = jax.jit(lambda e: energy_weight_grid(spec, e))(e0)
-    g_old, _ = jax.jit(lambda e: energy_weight_grid(spec_plain, e))(e0)
+    g_new = jax.jit(lambda e: energy_weight_grid(spec, e))(e0)
+    g_old = jax.jit(lambda e: energy_weight_grid(spec_plain, e))(e0)
     g_new, g_old = np.asarray(g_new), np.asarray(g_old)
     # same attenuation profile, near-equal weighted grids
     mask = g_old > 1e-3 * g_old.max()

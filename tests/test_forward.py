@@ -43,7 +43,7 @@ def test_simult_spectrum_scales_linearly():
 def test_energy_weight_grid_shape():
     from mcmctoffitting_tpu.models.forward import _transport_all
     e0 = jnp.linspace(600.0, 1100.0, 5000)
-    grid, _ = energy_weight_grid(SPEC_SIM, e0)
+    grid = energy_weight_grid(SPEC_SIM, e0)
     assert grid.shape == (10, 50)
     assert float(jnp.sum(grid)) > 0
     e_at_x = _transport_all(SPEC_SIM, e0)

@@ -31,7 +31,7 @@ def test_fused_matches_xla_grid():
     spec = dataclasses.replace(
         simult.default_spec(n_samples=4096, transport="rk4"),
         rk4_substeps=1)
-    g_xla, _ = energy_weight_grid(spec, jnp.asarray(e0))
+    g_xla = energy_weight_grid(spec, jnp.asarray(e0))
     from mcmctoffitting_tpu.models.forward import _taylor_coeffs
     moments = np.asarray(fused_transport_moments(
         e0, st, SIMULTFIT_X_BINNING.centers, 200.0, 1200.0, 50,
@@ -61,8 +61,8 @@ def test_fused_spec_path_matches_default():
             use_pallas=True)
         spec_ref = dataclasses.replace(spec, use_pallas=False)
         e0 = jnp.linspace(500.0, 1200.0, 2048)
-        g1, _ = energy_weight_grid(spec, e0)
-        g0, _ = energy_weight_grid(spec_ref, e0)
+        g1 = energy_weight_grid(spec, e0)
+        g0 = energy_weight_grid(spec_ref, e0)
         g0, g1 = np.asarray(g0), np.asarray(g1)
         m = g0 > 1e-2 * g0.max()
         assert (np.abs(g1[m] - g0[m]) / g0[m]).max() < 1e-4

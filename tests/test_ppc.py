@@ -106,7 +106,7 @@ def test_grid_normalization_invariant():
     from mcmctoffitting_tpu.models.forward import energy_weight_grid
     spec = simult.default_spec(n_samples=10_000)
     e0 = jnp.linspace(500.0, 1200.0, 10_000)
-    grid, _ = energy_weight_grid(spec, e0)
+    grid = energy_weight_grid(spec, e0)
     area = spec.ed_binning.width * spec.x_binning.width
     norm = grid / (jnp.sum(grid) * area)
     integral = float(jnp.sum(norm) * area)
