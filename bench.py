@@ -33,15 +33,21 @@ WALKER_CHUNK = int(os.environ.get("BENCH_WALKER_CHUNK", "64"))
 # forward-model grid strategy A/B knob ('e0grid' default | 'taylor'
 # literal path); see ForwardSpec.xs_mode
 XS_MODE = os.environ.get("BENCH_XS_MODE", "e0grid")
-# 'mc' (faithful pseudo-marginal default) | 'expected' (closed-form limit)
+# 'mc' (faithful per-sample pseudo-marginal) | 'counts' (Poissonized
+# Rao-Blackwell MC: same unbiased estimator, equal-or-lower per-eval noise,
+# O(F) cost — the recommended production MC mode; RESULTS_r3.md) |
+# 'expected' (closed-form limit)
 SAMPLING = os.environ.get("BENCH_SAMPLING", "mc")
+# shard the walker axis over this many devices (0 = all visible); on a
+# single-chip host this is a no-op, so the knob is always safe to set
+MESH = int(os.environ.get("BENCH_MESH", "0"))
 
 
 def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure_tpu() -> tuple[float, float]:
+def measure_tpu() -> tuple[float, float, int]:
     import jax
     import numpy as np
 
@@ -77,7 +83,17 @@ def measure_tpu() -> tuple[float, float]:
     observed = data_io.synthesize_observed(jax.random.fold_in(key, 9),
                                            problem, truth)
     logp = problem.make_log_prob_fn(observed)
-    logp_batch = make_logp_batch(logp, chunk=WALKER_CHUNK)
+    devices = jax.devices()
+    if MESH:
+        devices = devices[:MESH]
+    if len(devices) > 1:
+        from mcmctoffitting_tpu.parallel import (make_mesh,
+                                                 make_sharded_logp_batch)
+        logp_batch = make_sharded_logp_batch(
+            logp, make_mesh(devices), chunk=WALKER_CHUNK)
+        _log(f"bench: walker axis sharded over {len(devices)} devices")
+    else:
+        logp_batch = make_logp_batch(logp, chunk=WALKER_CHUNK)
     p0 = problem.initial_walkers_from_observed(
         jax.random.fold_in(key, 1), N_WALKERS, observed)
 
@@ -118,7 +134,7 @@ def measure_tpu() -> tuple[float, float]:
     _log(f"bench: {flops / 1e12:.2f} TFLOP per {N_STEPS_MEASURE}-step "
          f"segment (analytic) -> {flops / best_dt / 1e12:.2f} TFLOP/s "
          f"({100 * mfu:.2f}% of v5e bf16 peak)")
-    return N_STEPS_MEASURE * N_WALKERS / best_dt, mfu
+    return N_STEPS_MEASURE * N_WALKERS / best_dt, mfu, len(devices)
 
 
 def analytic_flops_per_walker_step(spec, n_runs: int) -> float:
@@ -141,6 +157,11 @@ def analytic_flops_per_walker_step(spec, n_runs: int) -> float:
         # (tof_spectra_multi broadcasts it), so no n_runs factor
         f = spec.e0_grid_fine
         return 30.0 * 4 * f + 2.0 * 4 * f * m * be
+    if spec.sampling == "counts":
+        # per run: ndtr partial moments (~30 flops each, 4 orders x F
+        # cells), F + 2 Poisson draws (~50), one A contraction
+        f = spec.e0_grid_fine
+        return n_runs * (30.0 * 4 * f + 50.0 * f + 2.0 * 4 * f * m * be)
     if spec.xs_mode == "e0grid":
         f = spec.e0_grid_fine
         per_sample = 12 + f + 2 * 4 * f      # index/channels, one-hot, dot
@@ -177,12 +198,12 @@ def reference_baseline() -> float | None:
 
 def main() -> None:
     try:
-        value, mfu = measure_tpu()
+        value, mfu, n_dev = measure_tpu()
     except Exception as e:  # transient TPU tunnel faults: one retry
         _log(f"bench: first attempt failed ({type(e).__name__}: {e}); "
              "retrying once")
         time.sleep(10)
-        value, mfu = measure_tpu()
+        value, mfu, n_dev = measure_tpu()
     baseline = reference_baseline()
     out = {
         "metric": "simultFit_walker_steps_per_sec",
@@ -190,6 +211,8 @@ def main() -> None:
         "unit": "walker-steps/s (256 walkers, 4 runs, 200k draws/eval)",
         "vs_baseline": round(value / baseline, 2) if baseline else None,
         "mfu_pct_v5e_bf16_peak": round(100 * mfu, 3),
+        "sampling": SAMPLING,
+        "n_devices": n_dev,
     }
     print(json.dumps(out))
 

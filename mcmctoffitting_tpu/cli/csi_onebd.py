@@ -35,11 +35,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-nMainSteps", default=100, type=int)
     p.add_argument("-outputPrefix", default="", type=str)
     p.add_argument("-nWalkers", default=256, type=int)
-    p.add_argument("-qnd", action="store_true",
-                   help="quick and dirty: 60k draws")
-    p.add_argument("-quickish", action="store_true", help="100k draws")
-    p.add_argument("-hardcore", action="store_true",
-                   help="400 eD x 20 x binning")
+    # the reference spells these as int choices (-qnd 1,
+    # tests/csi_oneBD.py:71-73); accept both that and bare-flag style
+    p.add_argument("-qnd", type=int, choices=[0, 1], nargs="?", const=1,
+                   default=0, help="quick and dirty: 60k draws")
+    p.add_argument("-quickish", type=int, choices=[0, 1], nargs="?",
+                   const=1, default=0, help="100k draws")
+    p.add_argument("-hardcore", type=int, choices=[0, 1], nargs="?",
+                   const=1, default=0, help="400 eD x 20 x binning")
     p.add_argument("-shiftTOF", default=0, type=int,
                    help="shift observed spectra by whole bins (systematic)")
     p.add_argument("-seed", default=0, type=int)
@@ -61,12 +64,28 @@ def build_parser() -> argparse.ArgumentParser:
                         "taylor: per-sample transport + per-slice moments")
     p.add_argument("-expectedForward", action="store_true",
                    help="closed-form expected forward model (the exact "
-                        "infinite-draw limit; no pseudo-marginal noise)")
+                        "infinite-draw limit; no pseudo-marginal noise); "
+                        "alias for -sampling expected")
+    p.add_argument("-sampling", choices=["mc", "counts", "expected"],
+                   default="mc",
+                   help="mc: faithful per-sample Monte Carlo (reference "
+                        "semantics); counts: Poissonized Rao-Blackwell MC "
+                        "— same unbiased estimator at equal-or-lower "
+                        "per-eval noise, O(F) cost (recommended for "
+                        "production MC); expected: closed-form limit")
     p.add_argument("-likelihood", choices=["reference", "poisson"],
                    default="reference",
                    help="reference: the faithful int()-cast form, whose "
                         "sawtooth IS the dominant pseudo-marginal noise; "
                         "poisson: correct Poisson logpmf — recommended")
+    p.add_argument("-nThreads", default=0, type=int,
+                   help="accepted for surface parity and ignored: walker "
+                        "parallelism is a device-mesh array axis here, not "
+                        "a process pool (reference tests/csi_oneBD.py:62)")
+    p.add_argument("-mpi", default=0, type=int,
+                   help="accepted for surface parity and ignored: the MPI "
+                        "pool is replaced by jax.distributed + mesh "
+                        "sharding (reference tests/csi_oneBD.py:61)")
     return p
 
 
@@ -97,10 +116,11 @@ def main(argv=None) -> dict:
     burnin_steps = 10 if args.debug else args.nBurninSteps
     main_steps = 10 if args.debug else args.nMainSteps
 
+    sampling = "expected" if args.expectedForward else args.sampling
     spec = onebd.default_spec(
         n_samples=n_draws, hardcore=args.hardcore,
-        xs_mode="e0grid" if args.expectedForward else args.gridMode,
-        sampling="expected" if args.expectedForward else "mc")
+        xs_mode="e0grid" if sampling != "mc" else args.gridMode,
+        sampling=sampling)
     if args.deterministicBG:
         spec = dataclasses.replace(spec, bg_mode="expected")
     problem = onebd.OneBDProblem(spec, n_runs=3,

@@ -30,6 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-quitEarly", choices=[0, 1], default=0, type=int)
     p.add_argument("-batch", choices=[0, 1], default=0, type=int,
                    help="suppress plots")
+    p.add_argument("-forceCustomPDF", choices=[0, 1], default=0, type=int,
+                   help="accepted for surface parity; this build always "
+                        "uses its own skew-normal (ops/pdfs.py), which IS "
+                        "the reference's custom pdf (utilities/pdfs.py)")
     p.add_argument("-nDrawsPerEval", default=200_000, type=int)
     p.add_argument("-nBurninSteps", default=400, type=int)
     p.add_argument("-nMainSteps", default=100, type=int)
@@ -52,13 +56,29 @@ def build_parser() -> argparse.ArgumentParser:
                         "taylor: per-sample transport + per-slice moments")
     p.add_argument("-expectedForward", action="store_true",
                    help="closed-form expected forward model (the exact "
-                        "infinite-draw limit; no pseudo-marginal noise)")
+                        "infinite-draw limit; no pseudo-marginal noise); "
+                        "alias for -sampling expected")
+    p.add_argument("-sampling", choices=["mc", "counts", "expected"],
+                   default="mc",
+                   help="mc: faithful per-sample Monte Carlo (reference "
+                        "semantics); counts: Poissonized Rao-Blackwell MC "
+                        "— same unbiased estimator at equal-or-lower "
+                        "per-eval noise, O(F) cost (recommended for "
+                        "production MC); expected: closed-form limit")
     p.add_argument("-likelihood", choices=["reference", "poisson"],
                    default="reference",
                    help="reference: the faithful int()-cast form, whose "
                         "sawtooth IS the dominant pseudo-marginal noise "
                         "(sigma~7e4 measured); poisson: correct Poisson "
                         "logpmf (sigma~2) — recommended for production")
+    p.add_argument("-nThreads", default=0, type=int,
+                   help="accepted for surface parity and ignored: walker "
+                        "parallelism is a device-mesh array axis here, not "
+                        "a process pool (reference tests/simultFit.py:46)")
+    p.add_argument("-mpi", default=0, type=int,
+                   help="accepted for surface parity and ignored: the MPI "
+                        "pool is replaced by jax.distributed + mesh "
+                        "sharding (reference tests/simultFit.py:688-706)")
     return p
 
 
@@ -81,10 +101,11 @@ def main(argv=None) -> dict:
     main_steps = 10 if args.debug else args.nMainSteps
     n_draws = 5000 if args.debug else args.nDrawsPerEval
 
+    sampling = "expected" if args.expectedForward else args.sampling
     spec = simult.default_spec(
         n_samples=n_draws,
-        xs_mode="e0grid" if args.expectedForward else args.gridMode,
-        sampling="expected" if args.expectedForward else "mc")
+        xs_mode="e0grid" if sampling != "mc" else args.gridMode,
+        sampling=sampling)
     problem = simult.SimultFitProblem(spec, n_runs=args.nRuns,
                                       likelihood=args.likelihood)
 

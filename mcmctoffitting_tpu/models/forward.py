@@ -128,6 +128,14 @@ class ForwardSpec:
     #     and beam_source='lognorm'.  Statistically this is a *different
     #     (cleaner) likelihood* the same way bg_mode='expected' is; the
     #     faithful default stays 'mc'.
+    #   'counts' — Poissonized Rao-Blackwell MC
+    #     (ops/e0grid.poissonized_moments): per-fine-cell Poisson counts at
+    #     the closed-form expected occupancies x conditional moments.  An
+    #     unbiased estimator of the same limit with per-cell variance
+    #     measurably equal to (strictly below) the 'mc' path's, at O(F)
+    #     cost per eval instead of O(N) — the recommended production MC
+    #     mode (see RESULTS_r3.md noise + parity studies).  Same
+    #     requirements as 'expected'.
     sampling: str = "mc"
     # which e0 mean feeds the TOF lattice (tests/simultFit.py:288):
     #   'sample' — the per-eval draw mean (reference-faithful).  Its jitter
@@ -311,8 +319,9 @@ def grid_and_mean(spec: ForwardSpec, params, key):
     — no draws at all; ``key`` is unused.
     """
     if spec.sampling == "expected":
-        if spec.xs_mode != "e0grid" or spec.e0_grid_table is None:
+        if spec.xs_mode != "e0grid":
             raise ValueError("sampling='expected' requires xs_mode='e0grid'")
+        _validate_e0grid_table(spec)
         if spec.beam_source != "lognorm":
             raise ValueError("sampling='expected' requires the lognorm "
                              "beam source")
@@ -325,9 +334,28 @@ def grid_and_mean(spec: ForwardSpec, params, key):
         if spec.cell_attenuation:
             grid = _apply_attenuation(spec, grid)
         return grid, e0_mean
+    if spec.sampling == "counts":
+        if spec.xs_mode != "e0grid":
+            raise ValueError("sampling='counts' requires xs_mode='e0grid'")
+        _validate_e0grid_table(spec)
+        if spec.beam_source != "lognorm":
+            raise ValueError("sampling='counts' requires the lognorm "
+                             "beam source")
+        from ..ops.e0grid import expected_e0_mean, poissonized_moments
+        truncated = spec.n_redraw_rounds != 0
+        moments, e0_mean = poissonized_moments(
+            key, spec.e0_grid_table, params[0], params[1], params[2],
+            params[3], spec.n_samples, truncated)
+        grid = _e0grid_contract(spec, moments)
+        if spec.cell_attenuation:
+            grid = _apply_attenuation(spec, grid)
+        if spec.e0_mean_mode == "expected":
+            e0_mean = expected_e0_mean(params[0], params[1], params[2],
+                                       params[3], truncated)
+        return grid, e0_mean
     if spec.sampling != "mc":
         raise ValueError(f"unknown sampling mode {spec.sampling!r} "
-                         "(expected 'mc' or 'expected')")
+                         "(expected 'mc', 'counts' or 'expected')")
     e_zeros = sample_beam_energies(key, spec, params)
     grid = energy_weight_grid(spec, e_zeros)
     if spec.e0_mean_mode == "expected":
@@ -593,7 +621,10 @@ def tof_spectra_multi(run_keys, params, spec: ForwardSpec,
         grid_1, mean_1 = grid_and_mean(spec, params, draw_keys[0])
         grids = jnp.broadcast_to(grid_1, (n_runs,) + grid_1.shape)
         e0_means = jnp.broadcast_to(mean_1, (n_runs,))
-    elif spec.run_axis == "sequential":
+    elif spec.run_axis == "sequential" or spec.sampling == "counts":
+        # counts mode always takes this branch: each run draws independent
+        # Poisson cell counts (faithful per-run randomness) and the per-run
+        # cost is O(F), so there is nothing to batch
         grids, e0_means = jax.lax.map(
             lambda k: grid_and_mean(spec, params, k), jnp.stack(draw_keys))
     else:

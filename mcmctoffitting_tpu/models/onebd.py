@@ -56,7 +56,7 @@ def default_spec(n_samples: int = 200_000, *,
     into one shared fine-grid moment pass.
     """
     rho = 4 * 8.565e-5
-    if sampling == "expected":
+    if sampling in ("expected", "counts"):
         xs_mode = "e0grid"  # the closed-form moments ride the A operator
     ed_bins, x_bins = (400, 20) if hardcore else (100, 10)
     e0_grid_table = None
@@ -64,8 +64,12 @@ def default_spec(n_samples: int = 200_000, *,
     # tests/test_e0grid.py); hardcore F=1024 keeps the mis-assignment
     # noise at <=25% of each bin's own MC noise (+3% effective per-bin
     # sigma) — measured barely better at 2048 (0.18 vs 0.25 ratio) for
-    # 2x the moment-dot cost
-    e0_grid_fine = 1024 if hardcore else 512
+    # 2x the moment-dot cost.  counts mode costs O(F), so it takes the
+    # finer grid outright (see simult.default_spec)
+    if sampling == "counts":
+        e0_grid_fine = 2048
+    else:
+        e0_grid_fine = 1024 if hardcore else 512
     if xs_mode == "e0grid":
         from ..ops.e0grid import cached_e0_grid_table
         from ..ops.xs import ddn_xs_uniform

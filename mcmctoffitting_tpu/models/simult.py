@@ -73,9 +73,9 @@ def default_spec(n_samples: int = 200_000, *,
     fine-grid moment pass (requires transport='table').
     """
     rho = 8.565e-5
-    if sampling == "expected":
+    if sampling in ("expected", "counts"):
         if transport != "table":
-            raise ValueError("sampling='expected' requires "
+            raise ValueError(f"sampling='{sampling}' requires "
                              "transport='table' (the closed-form moments "
                              "ride the e0grid preimage operator)")
         xs_mode = "e0grid"  # the closed-form moments ride the A operator
@@ -83,7 +83,10 @@ def default_spec(n_samples: int = 200_000, *,
     # F=256 measured: max per-cell error 8.7% of the bin's own MC noise at
     # the 200k-draw default (the ratio is N-independent), 17% faster than
     # F=512 (the moment dot is F-proportional); tools/tpu_e0grid_stages.py
-    e0_grid_fine = 256
+    # counts mode costs O(F) instead of O(N*F), so it affords a 4x finer
+    # grid — which also shrinks the within-cell granularity that made the
+    # coarse-F counts estimator noisier under rint (RESULTS_r3.md)
+    e0_grid_fine = 1024 if sampling == "counts" else 256
     if xs_mode == "e0grid" and transport != "table":
         xs_mode = "taylor"  # the e0grid preimages invert the stopping table
     if xs_mode == "e0grid":

@@ -316,6 +316,109 @@ def expected_moments(table: E0GridTable, beam_e, e_loss, scale, s,
     return moments, e0_mean
 
 
+def poissonized_moments(key, table: E0GridTable, beam_e, e_loss, scale, s,
+                        n_samples: float, truncated: bool):
+    """Poissonized Rao-Blackwell MC moments (``sampling='counts'``).
+
+    The faithful MC estimator's per-fine-cell moment sums decompose as
+    S_k[f] = count_f * m_k[f] + within-cell fluctuation, where count_f is
+    the cell occupancy and m_k[f] = E[t^k | cell f].  Measured on v5e, the
+    per-sample pipeline that produces them (threefry + ndtri + exp draws,
+    then the F-wide one-hot and its M=4-row MXU dot) sits within ~1.2x of
+    its op-mix roofline (tools/tpu_sorted_probe.py; RESULTS_r3.md) — the
+    faithful path cannot go much faster.  This estimator keeps the count
+    randomness and replaces the within-cell part with its conditional
+    expectation (both closed-form, from the same partial-moment machinery
+    as :func:`expected_moments`):
+
+        count_f ~ Poisson(lambda_f),   lambda_f = E[count_f] = Sbar_0[f]
+        S_k[f]  = count_f * Sbar_k[f] / Sbar_0[f]
+
+    Statistics: unbiased for exactly the same limit as the reference's
+    estimator (E[count_f] * m_k = Sbar_k), with per-cell variance
+    m_k^2 Var(count) vs MC's m_k^2 Var(count) + E[count] Var(t^k | f) —
+    i.e. *strictly smaller* (Rao-Blackwell); the dropped within-cell term
+    is O((cell width / t_scale)^2) ~ 1e-5 of the kept one.  Poisson counts
+    differ from the multinomial of a fixed-N draw only through the total
+    (Poisson(N) vs N); the forward model normalizes the grid, so the
+    shared total fluctuation cancels (and the reference's own
+    redraw/range-mask machinery makes its effective N fluctuate too).
+    Validated against the MC path in tests/test_counts_forward.py
+    (matching per-cell mean AND variance) and by posterior parity.
+
+    Cost: O(F) ndtr + F + 2 Poisson draws per run eval — independent of
+    ``n_samples``, replacing O(N) transcendentals + the O(N * F) one-hot.
+
+    Returns (moments (4, F), e0_mean) with e0_mean carrying the faithful
+    per-eval sample-mean jitter: it is computed from the same Poisson
+    counts extended with two overflow cells (draws falling below/above the
+    fine grid, closed-form conditional means), mirroring how the
+    reference's lattice mean averages over ALL draws
+    (``tests/simultFit.py:288``).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.scipy.special import ndtr
+
+    sbar, _ = expected_moments(table, beam_e, e_loss, scale, s,
+                               n_samples, truncated)          # (4, F)
+    lam = jnp.where(jnp.isfinite(sbar[0]), jnp.maximum(sbar[0], 0.0), 0.0)
+    m = sbar / jnp.maximum(sbar[0], 1e-12)[None, :]           # m[0] == 1
+
+    # overflow cells (e0 below/above the fine grid) for the sample mean
+    valid = (scale > 0.0) & (s > 0.0)
+    safe_scale = jnp.where(scale > 0.0, scale, 1.0)
+    safe_s = jnp.where(s > 0.0, s, 1.0)
+    w_of = lambda e0: (beam_e - e0 - e_loss) / safe_scale
+
+    def partial(j, lo, hi):
+        """E[W^j; lo < W < hi]; hi=None means +inf."""
+        lo_c = jnp.maximum(lo, 1e-30)
+        top = 1.0 if hi is None else ndtr(
+            jnp.log(jnp.maximum(hi, 1e-30)) / safe_s - j * safe_s)
+        amt = top - ndtr(jnp.log(lo_c) / safe_s - j * safe_s)
+        return (jnp.exp(0.5 * j * j * safe_s * safe_s)
+                * jnp.maximum(amt, 0.0))
+
+    if truncated:
+        w_max = w_of(0.0)
+        norm = partial(0, jnp.zeros(()), w_max)
+        norm = jnp.where(valid & (norm > 0), norm, 1.0)
+        # below grid: e0 < e0_lo, truncated at e0 > 0
+        p0_below = partial(0, w_of(table.e0_lo), w_max)
+        p1_below = partial(1, w_of(table.e0_lo), w_max)
+    else:
+        norm = jnp.asarray(1.0)
+        p0_below = partial(0, w_of(table.e0_lo), None)
+        p1_below = partial(1, w_of(table.e0_lo), None)
+    p0_above = partial(0, jnp.zeros(()), w_of(table.e0_hi))
+    p1_above = partial(1, jnp.zeros(()), w_of(table.e0_hi))
+
+    def cond_mean_e0(p0, p1):
+        return jnp.where(p0 > 1e-30,
+                         beam_e - e_loss
+                         - safe_scale * p1 / jnp.maximum(p0, 1e-30), 0.0)
+
+    lam_below = jnp.where(valid, n_samples * p0_below / norm, 0.0)
+    lam_above = jnp.where(valid, n_samples * p0_above / norm, 0.0)
+
+    lam_all = jnp.concatenate(
+        [lam, lam_below[None], lam_above[None]])
+    counts = jax.random.poisson(key, lam_all).astype(jnp.float32)
+    moments = counts[None, : table.n_fine] * jnp.where(
+        lam[None, :] > 0, m, 0.0)                             # (4, F)
+
+    cell_mean_e0 = table.t_ref + table.t_scale * m[1]
+    e0_sum = (jnp.sum(counts[: table.n_fine] * cell_mean_e0)
+              + counts[table.n_fine] * cond_mean_e0(p0_below, p1_below)
+              + counts[table.n_fine + 1] * cond_mean_e0(p0_above, p1_above))
+    total = jnp.sum(counts)
+    e0_mean = jnp.where(
+        total > 0, e0_sum / jnp.maximum(total, 1.0),
+        expected_e0_mean(beam_e, e_loss, scale, s, truncated))
+    return moments, e0_mean
+
+
 def expected_e0_mean(beam_e, e_loss, scale, s, truncated: bool):
     """Closed-form mean of the beam-energy draw distribution.
 

@@ -43,6 +43,49 @@ def test_csi_onebd_parser_surface():
     assert a2.deterministicBG and a2.resume == "x.ckpt.npz"
 
 
+def test_every_reference_flag_parses_verbatim():
+    """A reference-style command line parses unchanged on both flagships.
+
+    Every flag of ``tests/simultFit.py:42-55`` and
+    ``tests/csi_oneBD.py:58-76`` — including the vestigial/ignored ones
+    (-mpi, -nThreads, -forceCustomPDF, -run) and the reference's int-style
+    preset spellings (-qnd 1) — must be accepted.
+    """
+    from mcmctoffitting_tpu.cli.csi_onebd import build_parser as onebd_p
+    from mcmctoffitting_tpu.cli.simult_fit import build_parser as simult_p
+
+    a = simult_p().parse_args(
+        ["-nRuns", "4", "-mpi", "0", "-debug", "1", "-nThreads", "3",
+         "-datafile", "multistandoff.dat", "-quitEarly", "0", "-batch", "1",
+         "-forceCustomPDF", "0", "-nDrawsPerEval", "200000",
+         "-nBurninSteps", "400", "-nMainSteps", "100"])
+    assert a.nThreads == 3 and a.mpi == 0 and a.forceCustomPDF == 0
+
+    b = onebd_p().parse_args(
+        ["-run", "0", "-inputDataFilename", "x.dat", "-mpi", "0",
+         "-debug", "1", "-nThreads", "5", "-quitEarly", "1", "-batch", "0",
+         "-forceCustomPDF", "0", "-nDrawsPerEval", "200000",
+         "-nBurninSteps", "400", "-nMainSteps", "100",
+         "-outputPrefix", "", "-nWalkers", "256", "-qnd", "0",
+         "-quickish", "1", "-hardcore", "0", "-shiftTOF", "2"])
+    assert b.nThreads == 5 and b.quickish == 1 and b.hardcore == 0
+    assert b.shiftTOF == 2
+
+
+def test_sampling_flag_choices():
+    """-sampling {mc,counts,expected} on both flagships; -expectedForward
+    stays as the back-compat alias."""
+    from mcmctoffitting_tpu.cli.csi_onebd import build_parser as onebd_p
+    from mcmctoffitting_tpu.cli.simult_fit import build_parser as simult_p
+
+    for bp in (simult_p, onebd_p):
+        assert bp().parse_args(["-sampling", "counts"]).sampling == "counts"
+        assert bp().parse_args([]).sampling == "mc"
+        assert bp().parse_args(["-expectedForward"]).expectedForward
+        with pytest.raises(SystemExit):
+            bp().parse_args(["-sampling", "bogus"])
+
+
 def test_simple_tof_model_configs():
     from mcmctoffitting_tpu.cli.simple_tof import MODEL_CONFIGS
     assert set(MODEL_CONFIGS) == {"v0", "v1", "v2", "v2.5"}

@@ -89,3 +89,23 @@ def test_graft_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)
+
+
+def test_bench_mesh_smoke(monkeypatch):
+    """bench.py's mesh-aware path executes on the virtual 8-device mesh
+    (VERDICT round-2 item 3: first contact with real multi-chip hardware
+    must produce a number, not a TODO)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    monkeypatch.setattr(bench, "N_WALKERS", 32)
+    monkeypatch.setattr(bench, "N_RUNS", 2)
+    monkeypatch.setattr(bench, "N_DRAWS", 2000)
+    monkeypatch.setattr(bench, "N_STEPS_MEASURE", 2)
+    monkeypatch.setattr(bench, "WALKER_CHUNK", 2)
+    monkeypatch.setattr(bench, "MESH", 8)
+    monkeypatch.setattr(bench, "SAMPLING", "counts")
+    rate, mfu, n_dev = bench.measure_tpu()
+    assert rate > 0 and np.isfinite(mfu)
+    assert n_dev == 8

@@ -71,7 +71,7 @@ t_mom = steady("draw+moments", batched(
         spec, sample_beam_energies(k, spec, p)))))
 t_grid = steady("draw+grid(+atten)", batched(
     lambda k, p: jnp.sum(energy_weight_grid(
-        spec, sample_beam_energies(k, spec, p))[0])))
+        spec, sample_beam_energies(k, spec, p)))))
 t_full = steady("tof_spectrum", batched(
     lambda k, p: jnp.sum(tof_spectrum(k, p, spec, problem.standoffs[0],
                                       problem.windows[0], get_pdf=True,

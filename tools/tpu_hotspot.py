@@ -60,7 +60,7 @@ f_hist2 = jax.jit(jax.vmap(lambda v, ww: weighted_histogram(
     v, 200.0, 1200.0, 50, ww, chunk=65536)))
 steady("histogram x32 (chunk 65536)", f_hist2, e_at_x, w)
 
-f_grid = jax.jit(jax.vmap(lambda e: energy_weight_grid(spec, e)[0]))
+f_grid = jax.jit(jax.vmap(lambda e: energy_weight_grid(spec, e)))
 steady("energy_weight_grid x32", f_grid, e0)
 
 theta = jnp.asarray([1878.4, 850.0, 170.0, 0.5], jnp.float32)

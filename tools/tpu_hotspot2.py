@@ -53,7 +53,7 @@ f_hist = jax.jit(lambda k: jax.vmap(
 steady_keyed("histogram x32 fresh (chunk 16k)", f_hist)
 
 f_grid = jax.jit(lambda k: jax.vmap(lambda e: energy_weight_grid(
-    spec, e)[0])(mk_e0(k)))
+    spec, e))(mk_e0(k)))
 steady_keyed("energy_weight_grid x32 fresh", f_grid)
 
 theta = jnp.asarray([1878.4, 850.0, 170.0, 0.5], jnp.float32)

@@ -53,7 +53,7 @@ e0 = steady("beam draw (truncated) x32", f_draw, keys)
 f_tab = jax.jit(jax.vmap(lambda e: spec.stopping_table.eval_stopped(e)))
 steady("table transport x32", f_tab, e0)
 
-f_grid = jax.jit(jax.vmap(lambda e: energy_weight_grid(spec, e)[0]))
+f_grid = jax.jit(jax.vmap(lambda e: energy_weight_grid(spec, e)))
 steady("energy_weight_grid (stream moments) x32", f_grid, e0)
 
 f_fwd1 = jax.jit(jax.vmap(lambda k: tof_spectrum(

@@ -37,6 +37,6 @@ def mk(k):
 
 
 steady("XLA grid x32", jax.jit(
-    lambda k: jax.vmap(lambda e: energy_weight_grid(spec, e)[0])(mk(k))))
+    lambda k: jax.vmap(lambda e: energy_weight_grid(spec, e))(mk(k))))
 steady("Pallas grid x32", jax.jit(
-    lambda k: jax.vmap(lambda e: energy_weight_grid(spec_p, e)[0])(mk(k))))
+    lambda k: jax.vmap(lambda e: energy_weight_grid(spec_p, e))(mk(k))))
