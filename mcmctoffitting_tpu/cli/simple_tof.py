@@ -54,6 +54,11 @@ def main(argv=None) -> dict:
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--debug", action="store_true")
     p.add_argument("--outputPrefix", default="", type=str)
+    p.add_argument("--minimizeSeed", action="store_true",
+                   help="seed the walkers from a bounded TNC fit of the "
+                        "NLL first (the v1 reference behavior, "
+                        "tests/simpleTOFfit.py:267-271; common random "
+                        "numbers make the stochastic NLL deterministic)")
     args = p.parse_args(argv)
 
     import jax
@@ -107,7 +112,18 @@ def main(argv=None) -> dict:
         print(f"synthesized fake data at truth {truth.tolist()}")
 
     logp = problem.make_log_prob_fn(observed.astype(np.float64))
-    p0 = (jnp.asarray(truth) * 1.02
+    center = jnp.asarray(truth) * 1.02
+    if args.minimizeSeed:
+        # bounded TNC fit of the NLL, walkers seeded from its optimum
+        # (tests/simpleTOFfit.py:267-283: minimize -> p0 around .x)
+        from ..utils.optimize import minimize_nll
+        res = minimize_nll(logp, np.asarray(center),
+                           key=jax.random.fold_in(key, 3), method="TNC",
+                           bounds=list(zip(cfg["lo"], cfg["hi"])), tol=1.0)
+        print(f"TNC seed: nll {res.fun:.6g} at "
+              f"{np.round(res.x, 4).tolist()} (success={res.success})")
+        center = jnp.asarray(res.x, jnp.float32)
+    p0 = (center
           + 1e-2 * jax.random.normal(jax.random.fold_in(key, 1),
                                      (n_walkers, cfg["n_dim"])))
     t0 = time.time()

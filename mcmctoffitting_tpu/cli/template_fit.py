@@ -27,6 +27,11 @@ def main(argv=None) -> dict:
     p.add_argument("-seed", default=0, type=int)
     p.add_argument("--debug", action="store_true")
     p.add_argument("-outputPrefix", default="tmpl_", type=str)
+    p.add_argument("-doML", action="store_true",
+                   help="run a bounded SLSQP maximum-likelihood fit first "
+                        "and start the walkers from its optimum (the "
+                        "reference's doML option, "
+                        "tests/devShapeTemplates.py:508-518)")
     args = p.parse_args(argv)
 
     import jax
@@ -75,6 +80,18 @@ def main(argv=None) -> dict:
                          np.zeros(T.N_TEMPLATES)])
     hi = np.concatenate([[lim[1] for lim in T.SCALE_LIMS],
                          np.full(T.N_TEMPLATES, T.COEFF_LIM[1])])
+    if args.doML:
+        # bounded SLSQP ML fit preceding the MCMC; the template likelihood
+        # is deterministic, so no common-random-number handling is needed
+        from ..utils.optimize import minimize_nll
+        res = minimize_nll(logp, guess, key=jax.random.fold_in(key, 9),
+                           method="SLSQP",
+                           bounds=list(zip(lo.tolist(), hi.tolist())),
+                           maxiter=10_000)
+        print(f"SLSQP ML fit: nll {res.fun:.6g} success={res.success}")
+        print("optimized coefficients that will be used:",
+              np.round(res.x, 4).tolist())
+        guess = np.asarray(res.x)
     noise = jax.random.uniform(jax.random.fold_in(key, 1),
                                (n_walkers, problem.n_dim))
     p0 = jnp.asarray(np.clip(guess * (0.9 + 0.2 * np.asarray(noise)),

@@ -184,6 +184,23 @@ class SimultFitProblem:
                             self.windows[run], get_pdf=get_pdf,
                             scale=theta[4 + run])
 
+    def log_like(self, theta, key, observed) -> jax.Array:
+        """Joint log-likelihood alone (``compoundLnlike``,
+        ``tests/simultFit.py:412-420``) — the temperable part for the
+        parallel-tempering driver (prior stays untempered there)."""
+        run_keys = [jax.random.fold_in(key, run)
+                    for run in range(self.n_runs)]
+        spectra = tof_spectra_multi(run_keys, theta[:4], self.spec,
+                                    self.standoffs, self.windows,
+                                    theta[4: 4 + self.n_runs])
+        loglike = (poisson_binned_loglike if self.likelihood == "reference"
+                   else poisson_logpmf_loglike)
+        total = jnp.asarray(0.0)
+        for run in range(self.n_runs):
+            total = total + loglike(
+                spectra[run], jnp.asarray(observed[run]))
+        return jnp.where(jnp.isnan(total), -jnp.inf, total)
+
     def log_prob(self, theta, key, observed) -> jax.Array:
         """lnprob(theta) = box prior + sum of per-run Poisson loglikes.
 
@@ -195,17 +212,7 @@ class SimultFitProblem:
         """
         prior = box_lnprior(theta, self.param_lo, self.param_hi,
                             inclusive=True)
-        run_keys = [jax.random.fold_in(key, run)
-                    for run in range(self.n_runs)]
-        spectra = tof_spectra_multi(run_keys, theta[:4], self.spec,
-                                    self.standoffs, self.windows,
-                                    theta[4: 4 + self.n_runs])
-        loglike = (poisson_binned_loglike if self.likelihood == "reference"
-                   else poisson_logpmf_loglike)
-        total = prior
-        for run in range(self.n_runs):
-            total = total + loglike(
-                spectra[run], jnp.asarray(observed[run]))
+        total = prior + self.log_like(theta, key, observed)
         return jnp.where(jnp.isneginf(prior), -jnp.inf,
                          jnp.where(jnp.isnan(total), -jnp.inf, total))
 

@@ -21,12 +21,20 @@ import numpy as np
 
 def minimize_nll(logp_fn: Callable, x0, *, key=None, method: str = "Nelder-Mead",
                  bounds: Optional[Sequence] = None, tol: float | None = None,
-                 maxiter: int | None = None):
+                 maxiter: int | None = None, eps: float = 1e-3):
     """Minimize -logp with scipy (TNC / Nelder-Mead / SLSQP).
 
     ``logp_fn(theta, key) -> scalar``; the SAME key is used for every
     evaluation (common random numbers) so the stochastic likelihood becomes
     a deterministic objective, as required by these optimizers.
+
+    When ``bounds`` are given, the optimizer runs in unit-box coordinates
+    z = (x - lo) / (hi - lo): the physics parameters span 5+ orders of
+    magnitude (keV coefficients vs fractional sigmas vs 1e5-scale norms),
+    and scipy's finite-difference gradients use ONE absolute step — unscaled,
+    the step is either invisible at f32 objective resolution (TNC/SLSQP
+    stall at the start point) or enormous for the small parameters.  ``eps``
+    is the FD step in z units (1e-3 of each parameter's range).
     """
     from scipy import optimize as sopt
 
@@ -34,16 +42,33 @@ def minimize_nll(logp_fn: Callable, x0, *, key=None, method: str = "Nelder-Mead"
         key = jax.random.PRNGKey(0)
     f = jax.jit(lambda th: -logp_fn(th, key))
 
-    def obj(x):
-        v = float(f(jnp.asarray(x, dtype=jnp.float32)))
+    lo = hi = None
+    if bounds is not None:
+        lo = np.asarray([b[0] for b in bounds], np.float64)
+        hi = np.asarray([b[1] for b in bounds], np.float64)
+
+    def to_x(z):
+        return lo + z * (hi - lo) if lo is not None else z
+
+    def obj(z):
+        v = float(f(jnp.asarray(to_x(z), dtype=jnp.float32)))
         return v if np.isfinite(v) else 1e30
 
     options = {}
     if maxiter is not None:
-        options["maxiter"] = maxiter
+        # TNC spells its evaluation budget 'maxfun'
+        options["maxfun" if method == "TNC" else "maxiter"] = maxiter
+    if bounds is not None:
+        z0 = np.clip((np.asarray(x0, np.float64) - lo) / (hi - lo), 0.0, 1.0)
+        if method in ("TNC", "SLSQP", "L-BFGS-B"):
+            options["eps"] = eps
+        res = sopt.minimize(obj, z0, method=method,
+                            bounds=[(0.0, 1.0)] * len(z0), tol=tol,
+                            options=options or None)
+        res.x = to_x(res.x)
+        return res
     res = sopt.minimize(obj, np.asarray(x0, dtype=np.float64),
-                        method=method, bounds=bounds, tol=tol,
-                        options=options or None)
+                        method=method, tol=tol, options=options or None)
     return res
 
 

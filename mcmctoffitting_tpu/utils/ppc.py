@@ -123,6 +123,61 @@ class PPCSampler:
         return jnp.asarray(theta)[..., :4]
 
 
+def get_dtof_distribution(key, sampler: PPCSampler, *,
+                          n_draws: int = 1, n_samples_per: int = 1000,
+                          n_tof_bins: int = 100):
+    """Deuteron time-of-flight-through-cell distribution from the PPC.
+
+    Equivalent of ``utilities/ppcTools.py:358-394`` (getDTOFdistribution),
+    which samples one posterior theta, transports 1000 beam draws through
+    the cell and returns the transported energies at each x bin center —
+    but its promised dTOF histogram (``dtofHist``) is allocated and never
+    filled.  Here the computation is finished: per posterior draw,
+
+      e_at_x[m, i] = E(e0_i, x_m)                     (transport)
+      dtof[m, i]   = sum_{k<=m} dx / v(E(e0_i, x_k))  (cumulative transit)
+
+    with v from the same non-relativistic kinematics as the TOF lattice
+    (``utilities/utilities.py:64-73``).  Returns a dict with
+    ``x_centers`` (M,), ``e_at_x`` (n_draws, M, N), ``dtof``
+    (n_draws, M, N) cumulative deuteron transit times (ns), and
+    ``dtof_hist`` (M, n_tof_bins) — the per-x-slice histogram the
+    reference left unfilled — over all draws pooled.
+    """
+    from ..constants import masses, physics
+    from ..models.forward import _transport_all, sample_beam_energies
+
+    spec = sampler.problem.spec
+    x = np.asarray(spec.x_binning.centers, np.float64)
+    dx = np.diff(np.concatenate([[0.0], x]))      # slice widths up to x_m
+    thetas = sampler.draw_thetas(jax.random.fold_in(key, 0), n_draws)
+
+    @jax.jit
+    def one(k, theta4):
+        ez = sample_beam_energies(k, spec, theta4, n=n_samples_per)
+        e_at_x = _transport_all(spec, ez)                      # (M, N)
+        v = physics.speed_of_light * jnp.sqrt(
+            2.0 * e_at_x / masses.deuteron)                    # cm/ns
+        dt = jnp.asarray(dx, jnp.float32)[:, None] / v
+        return e_at_x, jnp.cumsum(dt, axis=0)
+
+    e_list, t_list = [], []
+    for i, theta in enumerate(thetas):
+        p4 = sampler._shared4(jnp.asarray(theta, jnp.float32))
+        e_at_x, dtof = one(jax.random.fold_in(key, 1 + i), p4)
+        e_list.append(np.asarray(e_at_x))
+        t_list.append(np.asarray(dtof))
+    e_all = np.stack(e_list)                                   # (D, M, N)
+    t_all = np.stack(t_list)
+    t_max = float(t_all.max()) or 1.0
+    hist = np.stack([
+        np.histogram(t_all[:, m, :].reshape(-1), n_tof_bins,
+                     (0.0, t_max))[0]
+        for m in range(x.shape[0])])                           # (M, bins)
+    return {"x_centers": x, "e_at_x": e_all, "dtof": t_all,
+            "dtof_hist": hist, "thetas": thetas}
+
+
 def percentile_bands(stacked: np.ndarray,
                      q: Sequence[float] = (16, 50, 84)) -> np.ndarray:
     """(n_draws, n_bins) -> (len(q), n_bins) credible bands

@@ -1,0 +1,123 @@
+"""Optimizer-seeded walker initialization (VERDICT round-2 items 5/6).
+
+* v1 TNC seed: ``cli/simple_tof.py --minimizeSeed`` mirrors the reference's
+  bounded TNC minimize before emcee (``tests/simpleTOFfit.py:267-283``).
+* template SLSQP ML fit: ``cli/template_fit.py -doML`` mirrors
+  ``tests/devShapeTemplates.py:508-518``.
+* ``utils/ppc.get_dtof_distribution`` finishes the reference's
+  ``getDTOFdistribution`` (``utilities/ppcTools.py:358-394``).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcmctoffitting_tpu.utils.optimize import minimize_nll
+
+
+def _v1_problem(n_draws=20_000):
+    from mcmctoffitting_tpu.cli.simple_tof import MODEL_CONFIGS
+    from mcmctoffitting_tpu.constants import TUNL_SSA_CSI, TofWindow
+    from mcmctoffitting_tpu.models.simple import (SimpleProblem, SimpleSpec,
+                                                  sample_tof)
+
+    cfg = MODEL_CONFIGS["v1"]
+    window = TofWindow(175.0, 225.0, 50)
+    spec = SimpleSpec(window=window, poly_order=3, add_half_zero_deg=True,
+                      n_samples=n_draws)
+    standoff = TUNL_SSA_CSI.standoff_mid
+    problem = SimpleProblem(spec=spec, standoff=standoff,
+                            param_lo=cfg["lo"], param_hi=cfg["hi"])
+    truth = np.asarray(cfg["truth"])
+    tofs, _, _, _ = sample_tof(jax.random.PRNGKey(0), jnp.asarray(truth),
+                               spec, standoff)
+    observed, _ = np.histogram(np.asarray(tofs)[:10_000], window.n_bins,
+                               window.range)
+    return cfg, problem, truth, observed
+
+
+def test_tnc_seed_improves_nll_toward_truth():
+    """The TNC seed lands at a better NLL than the perturbed start — the
+    walkers then begin at the optimum instead of burning in toward it."""
+    cfg, problem, truth, observed = _v1_problem()
+    logp = problem.make_log_prob_fn(observed.astype(np.float64))
+    key = jax.random.PRNGKey(3)
+    start = truth * np.asarray([1.05, 1.3, 1.5, 1.5, 1.2])
+    res = minimize_nll(logp, start, key=key, method="TNC",
+                       bounds=list(zip(cfg["lo"], cfg["hi"])), tol=1.0,
+                       maxiter=60)
+    nll_start = -float(logp(jnp.asarray(start, jnp.float32), key))
+    nll_seed = -float(logp(jnp.asarray(res.x, jnp.float32), key))
+    assert np.all(res.x >= np.asarray(cfg["lo"]) - 1e-9)
+    assert np.all(res.x <= np.asarray(cfg["hi"]) + 1e-9)
+    assert nll_seed < nll_start
+
+
+def test_slsqp_template_ml_fit_recovers_scales():
+    """Bounded SLSQP on the (deterministic) template likelihood pulls the
+    run scales toward their synthesis values."""
+    from mcmctoffitting_tpu.models import templates as T
+
+    spec = T.default_spec(n_samples=4000)
+    problem = T.TemplateFitProblem(n_runs=4)
+    key = jax.random.PRNGKey(0)
+    templates = T.generate_templates(key, spec)
+    coeff_guess = problem.initial_guess_model()
+    true_scales = [1.0, 1.2, 0.7, 1.4]
+    observed = [np.asarray(T.build_model_tof(true_scales[r], coeff_guess,
+                                             templates[r]))
+                for r in range(4)]
+    logp = problem.make_log_prob_fn(observed, templates)
+    lo = np.concatenate([[lim[0] for lim in T.SCALE_LIMS],
+                         np.zeros(T.N_TEMPLATES)])
+    hi = np.concatenate([[lim[1] for lim in T.SCALE_LIMS],
+                         np.full(T.N_TEMPLATES, T.COEFF_LIM[1])])
+    start = np.concatenate([[1.0, 1.0, 1.0], coeff_guess * 1.3])
+    res = minimize_nll(logp, start, key=key, method="SLSQP",
+                       bounds=list(zip(lo.tolist(), hi.tolist())),
+                       maxiter=200)
+    # scales are theta[0:3] for runs 1..3 (run 0 is the unit anchor)
+    assert np.allclose(res.x[:3], true_scales[1:], rtol=0.2)
+
+
+def test_cli_flags_parse():
+    import argparse
+
+    from mcmctoffitting_tpu.cli import simple_tof, template_fit  # noqa: F401
+
+    # simple_tof exposes --minimizeSeed; template_fit exposes -doML
+    # (parsers are built inline in main(), so check via a dry parse)
+    import inspect
+    assert "--minimizeSeed" in inspect.getsource(simple_tof.main)
+    assert "-doML" in inspect.getsource(template_fit.main)
+    del argparse
+
+
+def test_get_dtof_distribution():
+    from mcmctoffitting_tpu.models import simult
+    from mcmctoffitting_tpu.utils.ppc import PPCSampler, get_dtof_distribution
+
+    spec = simult.default_spec(n_samples=2000)
+    problem = simult.SimultFitProblem(spec, n_runs=2)
+    # tiny synthetic "chain" around the guess
+    rng = np.random.default_rng(0)
+    chain = (np.concatenate([simult.GUESS_SHARED, [5e4, 5e4]])
+             + rng.normal(0, 0.1, (6, 4, 6)))
+    sampler = PPCSampler(problem, chain, n_steps_to_include=6)
+    out = get_dtof_distribution(jax.random.PRNGKey(0), sampler,
+                                n_draws=2, n_samples_per=500)
+    m = spec.x_binning.n
+    assert out["e_at_x"].shape == (2, m, 500)
+    assert out["dtof"].shape == (2, m, 500)
+    assert out["dtof_hist"].shape == (m, 100)
+    # transit time grows monotonically with depth; energies fall wherever
+    # the deuteron is still live (below ~30 keV the transport table's
+    # energy floor clamps and its edge segment may wiggle — physically a
+    # stopped deuteron)
+    assert np.all(np.diff(out["dtof"], axis=1) > 0)
+    d = np.diff(out["e_at_x"], axis=1)
+    live = out["e_at_x"][:, :-1, :] > 30.0
+    assert np.all(d[live] < 0)
+    # each slice's pooled histogram holds every (draw, sample) pair
+    assert out["dtof_hist"].sum(axis=1).max() <= 2 * 500
+    # scale: ~2.3 cm cell, MeV-range deuterons -> ns-scale transit
+    assert 0 < out["dtof"].max() < 50.0

@@ -105,7 +105,6 @@ def test_bench_mesh_smoke(monkeypatch):
     monkeypatch.setattr(bench, "N_STEPS_MEASURE", 2)
     monkeypatch.setattr(bench, "WALKER_CHUNK", 2)
     monkeypatch.setattr(bench, "MESH", 8)
-    monkeypatch.setattr(bench, "SAMPLING", "counts")
-    rate, mfu, n_dev = bench.measure_tpu()
+    rate, mfu, n_dev = bench.measure_tpu(sampling="counts")
     assert rate > 0 and np.isfinite(mfu)
     assert n_dev == 8

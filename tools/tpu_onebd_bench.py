@@ -48,9 +48,12 @@ def main():
     xs_mode = "taylor" if "--taylor" in sys.argv else "e0grid"
     if xs_mode == "taylor":
         label += "+taylor"
+    sampling = _arg("--sampling", "mc", str)
+    if sampling != "mc":
+        label += f"+{sampling}"
 
     spec = onebd.default_spec(n_samples=n_draws, hardcore=hardcore,
-                              xs_mode=xs_mode)
+                              xs_mode=xs_mode, sampling=sampling)
     if "--fine" in sys.argv or "--hchunk" in sys.argv:
         import dataclasses
         from mcmctoffitting_tpu.ops.e0grid import cached_e0_grid_table
