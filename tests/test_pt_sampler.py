@@ -103,7 +103,8 @@ def test_pt_on_reduced_tof_posterior_traverses_ridge():
     from mcmctoffitting_tpu.cli.shifting_gaussian import main
 
     out = main(["-model", "tof", "-nTemps", "4", "-ptWalkers", "16",
-                "-ptBurnin", "30", "-ptSteps", "60", "-thin", "2"])
+                "-ptBurnin", "30", "-ptSteps", "60", "-thin", "2",
+                "-outputPrefix", "/tmp/sgtest_"])
     assert out["beamE_span_keV"] > 1.0
     assert all(0.0 <= s <= 1.0 for s in out["swap_acceptance"])
     assert max(out["swap_acceptance"]) > 0.01
@@ -113,7 +114,7 @@ def test_shifting_gaussian_cli_debug_smoke():
     """The reference's full driver shape (ensemble + PT) end-to-end."""
     from mcmctoffitting_tpu.cli.shifting_gaussian import TRUTH, main
 
-    out = main(["--debug"])
+    out = main(["--debug", "-outputPrefix", "/tmp/sgtest_"])
     # PT cold medians near truth (generous debug-size tolerances)
     assert abs(out["pt"]["sigma"] - TRUTH[0]) < 0.3
     assert abs((5 * out["pt"]["m"] + out["pt"]["b"])
