@@ -170,6 +170,95 @@ def make_pt_step(loglike_batch, logprior_batch, betas, a: float = 2.0):
     return step
 
 
+def sample_pt_adaptive(key, p0, n_steps: int, loglike_fn, logprior_fn, *,
+                       betas=None, n_temps: Optional[int] = None,
+                       a: float = 2.0, stochastic: bool = False,
+                       thin: int = 1, adapt_t0: float = 100.0,
+                       adapt_nu: float = 10.0):
+    """PT with on-the-fly temperature-ladder adaptation (Vousden, Farr &
+    Mandel 2016 scheme).
+
+    The reference's PTSampler uses a fixed geometric ladder
+    (``tests/shiftingGaussian_brute.py:349-360``); a mis-spaced ladder
+    starves replica flow through whichever pair has the lowest swap
+    acceptance.  Here the log temperature gaps S_i = log(1/beta_{i+1} -
+    1/beta_i) evolve as dS_i = eta(t) (A_i - A_{i+1}) with the
+    instantaneous pair swap-acceptance fractions A_i and the decaying rate
+    eta(t) = t0 / (nu (t + t0)) — interior pair acceptances equalize and
+    the adaptation freezes as t grows (so late samples are asymptotically
+    unbiased).  beta_0 = 1 and the TOTAL 1/beta span are held fixed (the
+    gaps renormalize each step), so the caller chooses the temperature
+    range and the adaptation redistributes the interior spacing.
+
+    Returns (PTChain, betas_final (T,), betas_history (S, T)).
+    """
+    p0 = jnp.asarray(p0, dtype=jnp.float32)
+    if p0.ndim == 2:
+        if n_temps is None:
+            raise ValueError("give p0 as (T, W, D) or pass n_temps")
+        p0 = jnp.broadcast_to(p0, (n_temps,) + p0.shape)
+    n_t = p0.shape[0]
+    if betas is None:
+        betas = default_beta_ladder(n_t)
+    betas = jnp.asarray(betas, jnp.float32)
+    if n_t < 3:
+        raise ValueError("ladder adaptation needs >= 3 temperatures")
+
+    loglike_batch = _make_batched(loglike_fn, stochastic)
+    logprior_batch = _make_batched(logprior_fn, stochastic)
+    state = init_pt_state(key, p0, loglike_batch, logprior_batch)
+    n_walkers = p0.shape[1]
+
+    inv_b = 1.0 / betas
+    gaps0 = jnp.log(jnp.diff(inv_b))                      # (T-1,)
+    span0 = jnp.sum(jnp.exp(gaps0))                       # 1/beta_top - 1
+
+    def betas_of(log_gaps):
+        inv = jnp.concatenate(
+            [jnp.ones((1,)), 1.0 + jnp.cumsum(jnp.exp(log_gaps))])
+        return 1.0 / inv
+
+    def step(carry, _):
+        st, log_gaps = carry
+        pos, ll, lp, key, step_idx = st
+        b = betas_of(log_gaps)
+        n_dim = pos.shape[-1]
+        key, k_e, k_o, k_s = jax.random.split(
+            jax.random.fold_in(key, step_idx), 4)
+        pos, ll, lp, acc_e = _tempered_half_update(
+            pos, ll, lp, b, 0, k_e, loglike_batch, logprior_batch, a, n_dim)
+        pos, ll, lp, acc_o = _tempered_half_update(
+            pos, ll, lp, b, 1, k_o, loglike_batch, logprior_batch, a, n_dim)
+        pos, ll, lp, swaps = _replica_exchange(pos, ll, lp, b, k_s)
+
+        # ladder update: equalize adjacent pair acceptances, then
+        # renormalize so the total 1/beta span (the caller's temperature
+        # range) is preserved exactly
+        pair_acc = swaps.astype(jnp.float32) / n_walkers   # (T-1,)
+        eta = adapt_t0 / (adapt_nu * (step_idx.astype(jnp.float32)
+                                      + adapt_t0))
+        delta = eta * (pair_acc[:-1] - pair_acc[1:])       # (T-2,)
+        log_gaps = log_gaps.at[:-1].add(delta)
+        span = jnp.sum(jnp.exp(log_gaps))
+        log_gaps = log_gaps + jnp.log(span0 / span)
+
+        accepted = jnp.zeros(pos.shape[:2], jnp.int32)
+        accepted = accepted.at[:, 0::2].set(acc_e.astype(jnp.int32))
+        accepted = accepted.at[:, 1::2].set(acc_o.astype(jnp.int32))
+        new_st = PTState(pos, ll, lp, key, step_idx + 1)
+        return (new_st, log_gaps), (pos, ll, lp, accepted, swaps,
+                                    betas_of(log_gaps))
+
+    (final, log_gaps), (pos, ll, lp, acc, swaps, b_hist) = jax.lax.scan(
+        step, (state, gaps0), None, length=n_steps)
+    if thin > 1:
+        pos, ll, lp, b_hist = (pos[::thin], ll[::thin], lp[::thin],
+                               b_hist[::thin])
+    chain = PTChain(pos, ll, lp, jnp.sum(acc, axis=0),
+                    jnp.sum(swaps, axis=0), final)
+    return chain, betas_of(log_gaps), b_hist
+
+
 def sample_pt(key, p0, n_steps: int, loglike_fn, logprior_fn, *,
               betas=None, n_temps: Optional[int] = None, a: float = 2.0,
               stochastic: bool = False, thin: int = 1) -> PTChain:

@@ -119,3 +119,42 @@ def test_shifting_gaussian_cli_debug_smoke():
     assert abs(out["pt"]["sigma"] - TRUTH[0]) < 0.3
     assert abs((5 * out["pt"]["m"] + out["pt"]["b"])
                - (5 * TRUTH[1] + TRUTH[2])) < 0.5
+
+
+def test_adaptive_ladder_equalizes_swap_acceptance():
+    """sample_pt_adaptive (Vousden-style): starting from a deliberately
+    lopsided ladder, the interior pair swap acceptances must end up closer
+    to uniform than they started, posteriors staying correct."""
+    import numpy as np
+
+    from mcmctoffitting_tpu.models import shifting_gaussian as sg
+    from mcmctoffitting_tpu.sampler.pt import sample_pt, sample_pt_adaptive
+
+    data = sg.generate_data(jax.random.PRNGKey(3), 800, 1.0, -0.2, 6.0)
+    loglike, logprior = sg.make_pt_fns(data, numeric=True)
+    # lopsided: one huge gap then tiny ones (bad by construction)
+    betas0 = np.asarray([1.0, 0.05, 0.045, 0.04, 0.035], np.float32)
+    p0 = (jnp.asarray([1.2, -0.25, 5.5])
+          + 0.01 * jax.random.normal(jax.random.PRNGKey(4), (5, 16, 3)))
+
+    fixed = sample_pt(jax.random.PRNGKey(5), p0, 250, loglike, logprior,
+                      betas=betas0)
+    adapt, betas_f, _ = sample_pt_adaptive(
+        jax.random.PRNGKey(5), p0, 250, loglike, logprior, betas=betas0,
+        adapt_t0=50.0, adapt_nu=2.0)
+
+    def spread(chain):
+        acc = np.asarray(chain.n_swaps_accepted, float) / (250 * 16)
+        inner = acc[:-1]  # pairs the adaptation controls
+        return inner.max() - inner.min()
+
+    assert spread(adapt) < spread(fixed)
+    b = np.asarray(betas_f)
+    assert b[0] == 1.0 and np.all(np.diff(b) < 0)  # still a valid ladder
+    # endpoints pinned: the hottest temperature is the caller's
+    np.testing.assert_allclose(b[-1], betas0[-1], rtol=1e-3)
+    # cold posterior still recovers truth
+    cold = np.asarray(adapt.cold_chain[120:]).reshape(-1, 3)
+    q50 = np.percentile(cold, 50, axis=0)
+    assert abs(q50[0] - 1.0) < 0.25
+    assert abs((5 * q50[1] + q50[2]) - 5.0) < 0.4
