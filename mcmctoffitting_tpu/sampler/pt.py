@@ -42,6 +42,7 @@ class PTState(NamedTuple):
     step: jax.Array
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PTChain:
     positions: jax.Array       # (S, T, W, D)

@@ -41,9 +41,10 @@ class EnsembleState(NamedTuple):
     step: jax.Array        # global step counter (for key folding)
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Chain:
-    """Sampled chain segment."""
+    """Sampled chain segment (a pytree: valid across jit boundaries)."""
 
     positions: jax.Array      # (S, W, D)
     log_probs: jax.Array      # (S, W)

@@ -67,18 +67,20 @@ def main():
         t0 = time.time()
         state = init_state(jax.random.fold_in(key, 2), p0, logp_batch)
 
+        # Chain is a plain dataclass (not a pytree): jit pytree outputs only
         def segment(s, n):
-            return run_mcmc(s, n, logp_batch)
+            ch = run_mcmc(s, n, logp_batch)
+            return ch.positions, ch.n_accepted, ch.state
 
         seg = jax.jit(segment, static_argnums=1)
-        state = seg(state, n_burn).state
-        chain = seg(state, n_main)
-        flat = np.asarray(chain.positions).reshape(-1, 9)
+        _, _, state = seg(state, n_burn)
+        positions, n_acc, state = seg(state, n_main)
+        flat = np.asarray(positions).reshape(-1, 9)
         q = np.percentile(flat, [16, 50, 84], axis=0)
         results[f] = {"med": q[1].tolist(),
                       "sig": (0.5 * (q[2] - q[0])).tolist(),
-                      "acc": float(np.asarray(
-                          chain.acceptance_fraction).mean()),
+                      "acc": float(np.sum(np.asarray(n_acc))
+                                   / (n_main * n_walkers)),
                       "elapsed_s": time.time() - t0}
         print(f"F={f}: {time.time()-t0:.0f}s acc="
               f"{results[f]['acc']:.2f}", flush=True)
@@ -116,11 +118,15 @@ def main():
     p0 = problem.initial_walkers_from_observed(
         jax.random.fold_in(key, 11), n_walkers, observed)
     state = init_state(jax.random.fold_in(key, 12), p0, logp_batch)
-    seg = jax.jit(lambda s, n: run_mcmc(s, n, logp_batch),
-                  static_argnums=1)
-    state = seg(state, n_burn).state
-    chain = seg(state, n_main)
-    flat = np.asarray(chain.positions).reshape(-1, 9)
+
+    def segment(s, n):
+        ch = run_mcmc(s, n, logp_batch)
+        return ch.positions, ch.n_accepted, ch.state
+
+    seg = jax.jit(segment, static_argnums=1)
+    _, _, state = seg(state, n_burn)
+    positions, _, state = seg(state, n_main)
+    flat = np.asarray(positions).reshape(-1, 9)
     q = np.percentile(flat, [16, 50, 84], axis=0)
     ctrl_dm = np.abs(q[1] - np.asarray(results[1024]["med"])) / ref_sig
     print(f"control (same F=1024, new seed): worst |dmedian|/sigma = "
