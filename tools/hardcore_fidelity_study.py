@@ -44,8 +44,17 @@ def main():
     n_burn = _arg("--burn", 150)
     n_main = _arg("--steps", 150)
     fs = (512, 1024, 2048)
+    # --expected: deterministic forward + deterministic bg — the SHARP
+    # instrument.  The mc run's same-F/different-seed control showed the
+    # pseudo-marginal seed scatter (1.48 sigma) exceeds any F effect, so
+    # the F comparison needs the noise-free estimator: any posterior
+    # movement under --expected is purely the fine-grid operator error.
+    expected = "--expected" in sys.argv
 
     base = onebd.default_spec(n_samples=200_000, hardcore=True)
+    if expected:
+        base = dataclasses.replace(base, sampling="expected",
+                                   bg_mode="expected")
     problem0 = onebd.OneBDProblem(base, n_runs=3, likelihood="poisson")
     truth = np.array([1300.0, 80.0, 0.6, 5e4, 5e4, 5e4, 20.0, 20.0, 20.0])
     key = jax.random.PRNGKey(0)
@@ -133,15 +142,18 @@ def main():
           f"{ctrl_dm.max():.3f}")
 
     os.makedirs("out", exist_ok=True)
-    with open("out/hardcore_f_study.json", "w") as fjson:
+    out_name = ("out/hardcore_f_study_expected.json" if expected
+                else "out/hardcore_f_study.json")
+    with open(out_name, "w") as fjson:
         json.dump({"results": {str(k): v for k, v in results.items()},
                    "names": names,
                    "worst_dmed_sigma": worst_med,
                    "worst_dsig_sigma": worst_sig,
                    "control_worst_dmed_sigma": float(ctrl_dm.max()),
                    "config": {"walkers": n_walkers, "burn": n_burn,
-                              "main": n_main}}, fjson, indent=1)
-    print("written out/hardcore_f_study.json")
+                              "main": n_main,
+                              "sampling": base.sampling}}, fjson, indent=1)
+    print(f"written {out_name}")
 
 
 if __name__ == "__main__":

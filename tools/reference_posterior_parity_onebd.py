@@ -44,11 +44,18 @@ from reference_posterior_parity import numpy_stretch_sampler  # noqa: E402
 
 LIKELIHOOD = os.environ.get("PARITY_LIKELIHOOD", "poisson")
 SAMPLING = os.environ.get("PARITY_SAMPLING", "mc")
+# background model for BOTH sides: the per-eval Poisson bg draw
+# (tests/csi_oneBD.py:521) is itself a major pseudo-marginal noise source
+# (it froze both samplers at acc ~ 0.1 in the first study); the sharp
+# poisson-likelihood instrument defaults to the deterministic expectation
+# (the -deterministicBG production mode), the faithful mode keeps draws
+BG_MODE = os.environ.get(
+    "PARITY_BG", "expected" if LIKELIHOOD == "poisson" else "poisson")
 N_RUNS = int(os.environ.get("PARITY_RUNS", "3"))
 N_DRAWS = int(os.environ.get("PARITY_DRAWS", "10000"))
 N_WALKERS = 20
-N_BURNIN = 60
-N_MAIN = 200
+N_BURNIN = int(os.environ.get("PARITY_BURNIN", "60"))
+N_MAIN = int(os.environ.get("PARITY_MAIN", "200"))
 
 OUT = os.path.join(REPO, "out", "parity_onebd")
 if LIKELIHOOD != "poisson":
@@ -78,9 +85,9 @@ def _load_reference_modules():
     }
 
 
-def make_reference_lnprob(ref, observed, rng):
-    """lnprob(theta) from the reference's own oneBD kernels."""
-    from scipy.special import gammaln
+def make_reference_forward(ref, rng):
+    """(gen_model, windows, standoffs) from the reference's own oneBD
+    kernels (``tests/csi_oneBD.py:415-521``)."""
     from scipy.stats import lognorm
 
     consts = ref["constants"]
@@ -125,13 +132,6 @@ def make_reference_lnprob(ref, observed, rng):
                for n in run_names]
     L = distances.tunlSSA_CsI.cellLength  # the reference's own constant
 
-    lo_b = np.array([200.0, 10.0, 0.05] + [1e3] * N_RUNS + [0.0] * N_RUNS)
-    hi_b = np.array([2000.0, 700.0, 3.0] + [1e8] * N_RUNS + [1e3] * N_RUNS)
-
-    # the reference mutates observed zeros to 1 in place on first eval
-    # (tests/csi_oneBD.py:558-559); apply once up front
-    observed = [np.where(o == 0, 1.0, o) for o in observed]
-
     xx = np.tile(x_centers, N_DRAWS)
 
     def gen_model(eLoss, scale, s, scaleFactor, bgLevel, standoff, window):
@@ -157,8 +157,26 @@ def make_reference_lnprob(ref, observed, rng):
                                weights=draw2d.ravel().astype(float),
                                density=True)
         hist = np.convolve(hist, zd_vals, "full")[: -len(zd_centers) + 1]
-        return (scaleFactor * beamTiming.applySpreading(hist)
-                + rng.poisson(bgLevel, nb))
+        bg = (bgLevel if BG_MODE == "expected"
+              else rng.poisson(bgLevel, nb))
+        return scaleFactor * beamTiming.applySpreading(hist) + bg
+
+    return gen_model, windows, standoffs
+
+
+def make_reference_lnprob(ref, observed, rng):
+    """lnprob(theta) from the reference's own oneBD kernels
+    (``tests/csi_oneBD.py:528-649``)."""
+    from scipy.special import gammaln
+
+    gen_model, windows, standoffs = make_reference_forward(ref, rng)
+
+    lo_b = np.array([200.0, 10.0, 0.05] + [1e3] * N_RUNS + [0.0] * N_RUNS)
+    hi_b = np.array([2000.0, 700.0, 3.0] + [1e8] * N_RUNS + [1e3] * N_RUNS)
+
+    # the reference mutates observed zeros to 1 in place on first eval
+    # (tests/csi_oneBD.py:558-559); apply once up front
+    observed = [np.where(o == 0, 1.0, o) for o in observed]
 
     def lnprob(theta):
         if np.any(theta < lo_b) or np.any(theta > hi_b):
@@ -253,7 +271,10 @@ def run_ours():
     from mcmctoffitting_tpu.models import onebd
     from mcmctoffitting_tpu.sampler import (init_state, make_logp_batch,
                                             run_mcmc)
+    import dataclasses
     spec = onebd.default_spec(n_samples=N_DRAWS, sampling=SAMPLING)
+    if BG_MODE == "expected":
+        spec = dataclasses.replace(spec, bg_mode="expected")
     problem = onebd.OneBDProblem(spec, n_runs=N_RUNS,
                                  likelihood=LIKELIHOOD)
     logp = problem.make_log_prob_fn(observed)
@@ -273,11 +294,58 @@ def run_ours():
           f"acc={float(chain.acceptance_fraction.mean()):.2f}")
 
 
+def forward_compare():
+    """Direct forward-model parity: our oneBD tof_spectrum vs the
+    reference's own generateModelData at the same theta (truth), averaged
+    over keys to suppress MC noise, compared as normalized shapes.
+
+    Localizes any posterior-level disagreement: if the L1 here is at the
+    MC-noise floor, the forwards agree and residual dz is sampler
+    convergence, not model difference.
+    """
+    sys.path.insert(0, REPO)
+    import jax
+    import jax.numpy as jnp
+    from mcmctoffitting_tpu.models import onebd
+    from mcmctoffitting_tpu.models.forward import tof_spectrum
+
+    ref = _load_reference_modules()
+    rng = np.random.default_rng(3)
+    gen_model, windows, standoffs = make_reference_forward(ref, rng)
+    eLoss, scale, s = TRUTH[:3]
+    k_avg = 20
+
+    spec = onebd.default_spec(n_samples=N_DRAWS)
+    problem = onebd.OneBDProblem(spec, n_runs=N_RUNS)
+    fwd = jax.jit(lambda k: tof_spectrum(
+        k, jnp.asarray([2490.0, eLoss, scale, s], jnp.float32), spec,
+        problem.standoffs[0], problem.windows[0], get_pdf=True, scale=1.0))
+
+    ref_acc = None
+    ours_acc = None
+    for i in range(k_avg):
+        r = gen_model(eLoss, scale, s, 1.0, 0.0, standoffs[0], windows[0])
+        o = np.asarray(fwd(jax.random.PRNGKey(100 + i)))
+        ref_acc = r if ref_acc is None else ref_acc + r
+        ours_acc = o if ours_acc is None else ours_acc + o
+    a = ref_acc / ref_acc.sum()
+    b = ours_acc / ours_acc.sum()
+    l1 = float(np.abs(a - b).sum())
+    print(f"forward shape L1 (ref vs ours, {k_avg}-key avg, "
+          f"{N_DRAWS} draws): {l1:.4f}")
+    print("per-bin ref:", np.round(a, 4).tolist())
+    print("per-bin ours:", np.round(b, 4).tolist())
+    with open(os.path.join(OUT, "forward_compare.json"), "w") as f:
+        json.dump({"l1": l1, "ref": a.tolist(), "ours": b.tolist()}, f)
+    return l1
+
+
 def report():
     ref = np.load(os.path.join(OUT, "reference_chain.npz"))
     ours = np.load(os.path.join(OUT, "ours_chain.npz"))
     n_dim = 3 + 2 * N_RUNS
-    lines = [f"oneBD posterior parity [{LIKELIHOOD}, ours={SAMPLING}], "
+    lines = [f"oneBD posterior parity [{LIKELIHOOD}, bg={BG_MODE}, "
+             f"ours={SAMPLING}], "
              f"{N_RUNS} runs x {N_WALKERS} walkers x {N_MAIN} main steps, "
              "shared data",
              f"reference: {float(ref['elapsed']):.0f}s "
@@ -315,4 +383,4 @@ def report():
 if __name__ == "__main__":
     phase = sys.argv[1] if len(sys.argv) > 1 else "report"
     {"prepare": prepare, "reference": run_reference, "ours": run_ours,
-     "report": report}[phase]()
+     "forward": forward_compare, "report": report}[phase]()
