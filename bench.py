@@ -27,9 +27,12 @@ N_RUNS = 4
 N_DRAWS = 200_000
 N_STEPS_MEASURE = 10
 # lnprob evals per vmap block (memory cap); overridable for chunk sweeps.
-# 64 measured best on v5e with the sequential run axis (667.6 vs 643.1
-# walker-steps/s at 32; tools/tpu_ablate*.py)
-WALKER_CHUNK = int(os.environ.get("BENCH_WALKER_CHUNK", "64"))
+# Per-mode defaults: the per-sample mc path holds O(n_samples) intermediates
+# per walker and needs the cap (64 measured best on v5e: 667.6 vs 643.1
+# walker-steps/s at 32; tools/tpu_ablate*.py); counts/expected per-walker
+# state is O(F) so the full 128-walker half-batch vmaps directly
+# (chunk 64 -> unchunked measured 25,629 -> 32,536 walker-steps/s, +27%).
+WALKER_CHUNK = os.environ.get("BENCH_WALKER_CHUNK", "")
 # forward-model grid strategy A/B knob ('e0grid' default | 'taylor'
 # literal path); see ForwardSpec.xs_mode
 XS_MODE = os.environ.get("BENCH_XS_MODE", "e0grid")
@@ -63,6 +66,9 @@ def measure_tpu(sampling: str = "counts") -> tuple[float, float, int]:
                                             run_mcmc)
     from mcmctoffitting_tpu.utils import data_io
 
+    walker_chunk = (int(WALKER_CHUNK) if WALKER_CHUNK
+                    else (64 if sampling == "mc" else None))
+
     spec = simult.default_spec(n_samples=N_DRAWS, xs_mode=XS_MODE,
                                sampling=sampling)
     hist_chunk = int(os.environ.get("BENCH_HIST_CHUNK", "0"))
@@ -91,10 +97,10 @@ def measure_tpu(sampling: str = "counts") -> tuple[float, float, int]:
         from mcmctoffitting_tpu.parallel import (make_mesh,
                                                  make_sharded_logp_batch)
         logp_batch = make_sharded_logp_batch(
-            logp, make_mesh(devices), chunk=WALKER_CHUNK)
+            logp, make_mesh(devices), chunk=walker_chunk)
         _log(f"bench: walker axis sharded over {len(devices)} devices")
     else:
-        logp_batch = make_logp_batch(logp, chunk=WALKER_CHUNK)
+        logp_batch = make_logp_batch(logp, chunk=walker_chunk)
     p0 = problem.initial_walkers_from_observed(
         jax.random.fold_in(key, 1), N_WALKERS, observed)
 

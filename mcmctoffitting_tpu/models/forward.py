@@ -621,10 +621,18 @@ def tof_spectra_multi(run_keys, params, spec: ForwardSpec,
         grid_1, mean_1 = grid_and_mean(spec, params, draw_keys[0])
         grids = jnp.broadcast_to(grid_1, (n_runs,) + grid_1.shape)
         e0_means = jnp.broadcast_to(mean_1, (n_runs,))
-    elif spec.run_axis == "sequential" or spec.sampling == "counts":
-        # counts mode always takes this branch: each run draws independent
-        # Poisson cell counts (faithful per-run randomness) and the per-run
-        # cost is O(F), so there is nothing to batch
+    elif spec.sampling == "counts":
+        # each run draws independent Poisson cell counts (faithful per-run
+        # randomness); per-run state is O(F), so unlike the mc path the
+        # batched axis costs no meaningful memory and runs the R ndtr/draw
+        # chains as one wide program
+        f = lambda k: grid_and_mean(spec, params, k)
+        stacked = jnp.stack(draw_keys)
+        if spec.run_axis == "sequential":
+            grids, e0_means = jax.lax.map(f, stacked)
+        else:
+            grids, e0_means = jax.vmap(f)(stacked)
+    elif spec.run_axis == "sequential":
         grids, e0_means = jax.lax.map(
             lambda k: grid_and_mean(spec, params, k), jnp.stack(draw_keys))
     else:

@@ -87,7 +87,7 @@ def default_spec(n_samples: int = 200_000, *,
         zero_degree="expo",
         cell_attenuation=True,
         # see simult.default_spec: sequential run axis measured faster at
-        # the 200k-draw scale (tools/tpu_ablate2.py)
+        # the 200k-draw scale (tools/tpu_ablate2.py), for counts mode too
         run_axis="sequential",
         n_samples=n_samples,
         # the oneBD driver disabled the redraw loop (tests/csi_oneBD.py:440)

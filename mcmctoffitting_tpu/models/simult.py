@@ -111,7 +111,10 @@ def default_spec(n_samples: int = 200_000, *,
         cell_attenuation=False,
         # sequential run axis: the 4-run x 200k-draw batched working set
         # went superlinear on v5e (tools/tpu_ablate_simult.py); lax.map
-        # over runs halved the measured lnprob block
+        # over runs halved the measured lnprob block.  Measured for counts
+        # too: batching the run axis LOSES (26.4k vs 33.4k walker-steps/s
+        # at the flagship config) — the (4F)x(M*Be) A contraction batched
+        # over runs thrashes where the sequential program reuses it.
         run_axis="sequential",
         n_samples=n_samples,
         # one-hot block peak memory scales as walker_chunk * n_runs * x_bins

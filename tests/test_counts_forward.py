@@ -170,3 +170,25 @@ def test_counts_invalid_params_zero_grid(specs):
         jax.random.PRNGKey(0))
     assert float(jnp.sum(jnp.abs(g))) == 0.0
     assert np.isfinite(float(m))
+
+
+def test_counts_batched_run_axis_matches_sequential():
+    """counts supports both run axes (sequential lax.map is the measured
+    default; batched vmap is a spec option): same per-run keys must give
+    statistically identical spectra either way."""
+    from mcmctoffitting_tpu.models.forward import tof_spectra_multi
+
+    seq = simult.default_spec(n_samples=4000, sampling="counts")
+    assert seq.run_axis == "sequential"
+    spec = dataclasses.replace(seq, run_axis="batched")
+    prob = simult.SimultFitProblem(spec, n_runs=3)
+    run_keys = tuple(jax.random.fold_in(jax.random.PRNGKey(7), r)
+                     for r in range(3))
+    scales = jnp.asarray([5e4, 4e4, 3e4], jnp.float32)
+    out_b = tof_spectra_multi(run_keys, THETA, spec, prob.standoffs,
+                              prob.windows, scales)
+    out_s = tof_spectra_multi(run_keys, THETA, seq, prob.standoffs,
+                              prob.windows, scales)
+    for b, s in zip(out_b, out_s):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(s),
+                                   rtol=1e-6, atol=1e-6)
