@@ -66,8 +66,10 @@ def measure_tpu(sampling: str = "counts") -> tuple[float, float, int]:
                                             run_mcmc)
     from mcmctoffitting_tpu.utils import data_io
 
-    walker_chunk = (int(WALKER_CHUNK) if WALKER_CHUNK
-                    else (64 if sampling == "mc" else None))
+    # "" -> per-mode default; 0 -> unchunked (matching BENCH_MESH=0 = all)
+    walker_chunk = (64 if sampling == "mc" else None)
+    if WALKER_CHUNK:
+        walker_chunk = int(WALKER_CHUNK) or None
 
     spec = simult.default_spec(n_samples=N_DRAWS, xs_mode=XS_MODE,
                                sampling=sampling)

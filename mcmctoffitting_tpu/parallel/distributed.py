@@ -30,7 +30,7 @@ from typing import Optional
 
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-WALKER_AXIS = "walkers"
+from .mesh import WALKER_AXIS, make_mesh
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -76,10 +76,7 @@ def global_mesh(axis_name: str = WALKER_AXIS) -> Mesh:
     Within one process this is exactly ``make_mesh()``; after
     :func:`initialize` it spans hosts and the walker axis crosses DCN.
     """
-    import jax
-    import numpy as np
-
-    return Mesh(np.asarray(jax.devices()), (axis_name,))
+    return make_mesh(None, axis_name)
 
 
 def make_global_array(x, mesh: Mesh, spec: P = P()):

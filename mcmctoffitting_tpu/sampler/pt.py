@@ -45,16 +45,17 @@ class PTState(NamedTuple):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PTChain:
-    positions: jax.Array       # (S, T, W, D)
+    positions: jax.Array       # (S, T, W, D) — S = n_steps // thin rows
     log_like: jax.Array        # (S, T, W)
     log_prior: jax.Array       # (S, T, W)
-    n_accepted: jax.Array      # (T, W)
+    n_accepted: jax.Array      # (T, W) — over ALL n_steps, not just kept
     n_swaps_accepted: jax.Array  # (T-1,)
+    n_steps: jax.Array         # () total steps sampled (pre-thin)
     state: PTState
 
     @property
     def acceptance_fraction(self):
-        return self.n_accepted / self.positions.shape[0]
+        return self.n_accepted / self.n_steps
 
     @property
     def cold_chain(self):
@@ -204,6 +205,13 @@ def sample_pt_adaptive(key, p0, n_steps: int, loglike_fn, logprior_fn, *,
     betas = jnp.asarray(betas, jnp.float32)
     if n_t < 3:
         raise ValueError("ladder adaptation needs >= 3 temperatures")
+    if abs(float(betas[0]) - 1.0) > 1e-6:
+        # the adapted ladder is parameterized by log-gaps above a cold
+        # chain pinned at beta=1 (betas_of below); a non-cold-anchored
+        # ladder would silently sample a different target than requested
+        raise ValueError("sample_pt_adaptive requires betas[0] == 1.0 "
+                         "(cold-anchored ladder); use sample_pt for "
+                         "arbitrary fixed ladders")
 
     loglike_batch = _make_batched(loglike_fn, stochastic)
     logprior_batch = _make_batched(logprior_fn, stochastic)
@@ -256,7 +264,8 @@ def sample_pt_adaptive(key, p0, n_steps: int, loglike_fn, logprior_fn, *,
         pos, ll, lp, b_hist = (pos[::thin], ll[::thin], lp[::thin],
                                b_hist[::thin])
     chain = PTChain(pos, ll, lp, jnp.sum(acc, axis=0),
-                    jnp.sum(swaps, axis=0), final)
+                    jnp.sum(swaps, axis=0),
+                    jnp.asarray(n_steps, jnp.int32), final)
     return chain, betas_of(log_gaps), b_hist
 
 
@@ -281,4 +290,5 @@ def sample_pt(key, p0, n_steps: int, loglike_fn, logprior_fn, *,
     if thin > 1:
         pos, ll, lp = pos[::thin], ll[::thin], lp[::thin]
     return PTChain(pos, ll, lp, jnp.sum(acc, axis=0),
-                   jnp.sum(swaps, axis=0), final)
+                   jnp.sum(swaps, axis=0),
+                   jnp.asarray(n_steps, jnp.int32), final)

@@ -42,13 +42,16 @@ def minimize_nll(logp_fn: Callable, x0, *, key=None, method: str = "Nelder-Mead"
         key = jax.random.PRNGKey(0)
     f = jax.jit(lambda th: -logp_fn(th, key))
 
-    lo = hi = None
+    lo = hi = span = None
     if bounds is not None:
         lo = np.asarray([b[0] for b in bounds], np.float64)
         hi = np.asarray([b[1] for b in bounds], np.float64)
+        # lo == hi pins the parameter (scipy's fixed-variable convention);
+        # a unit span keeps the rescaling finite and z0 clamps to 0
+        span = np.where(hi > lo, hi - lo, 1.0)
 
     def to_x(z):
-        return lo + z * (hi - lo) if lo is not None else z
+        return lo + z * span if lo is not None else z
 
     def obj(z):
         v = float(f(jnp.asarray(to_x(z), dtype=jnp.float32)))
@@ -59,11 +62,13 @@ def minimize_nll(logp_fn: Callable, x0, *, key=None, method: str = "Nelder-Mead"
         # TNC spells its evaluation budget 'maxfun'
         options["maxfun" if method == "TNC" else "maxiter"] = maxiter
     if bounds is not None:
-        z0 = np.clip((np.asarray(x0, np.float64) - lo) / (hi - lo), 0.0, 1.0)
+        z0 = np.clip((np.asarray(x0, np.float64) - lo) / span, 0.0, 1.0)
         if method in ("TNC", "SLSQP", "L-BFGS-B"):
             options["eps"] = eps
+        z_bounds = [(0.0, 0.0) if h <= l else (0.0, 1.0)
+                    for l, h in zip(lo, hi)]
         res = sopt.minimize(obj, z0, method=method,
-                            bounds=[(0.0, 1.0)] * len(z0), tol=tol,
+                            bounds=z_bounds, tol=tol,
                             options=options or None)
         res.x = to_x(res.x)
         return res

@@ -121,3 +121,20 @@ def test_get_dtof_distribution():
     assert out["dtof_hist"].sum(axis=1).max() <= 2 * 500
     # scale: ~2.3 cm cell, MeV-range deuterons -> ns-scale transit
     assert 0 < out["dtof"].max() < 50.0
+
+
+def test_minimize_nll_equal_bounds_pins_parameter():
+    """lo == hi fixes the parameter (scipy's convention); the unit-box
+    rescaling must stay finite there instead of dividing by zero."""
+    target = np.asarray([2.0, 5.0, -1.0])
+
+    def logp(theta, key):
+        del key
+        return -0.5 * jnp.sum((theta - jnp.asarray(target)) ** 2)
+
+    bounds = [(0.0, 10.0), (5.0, 5.0), (-3.0, 3.0)]
+    res = minimize_nll(logp, np.asarray([1.0, 5.0, 0.0]), bounds=bounds,
+                      method="TNC", maxiter=200)
+    assert np.all(np.isfinite(res.x))
+    assert res.x[1] == 5.0
+    assert abs(res.x[0] - 2.0) < 0.1 and abs(res.x[2] + 1.0) < 0.1

@@ -90,6 +90,9 @@ def test_thinning():
     chain = sample_pt(jax.random.PRNGKey(9), p0, 100, loglike, logprior,
                       thin=10)
     assert chain.positions.shape[0] == 10
+    # acceptance is per sampled step (all 100), not per kept row
+    acc = np.asarray(chain.acceptance_fraction)
+    assert np.all(acc <= 1.0) and acc.mean() > 0.1
 
 
 def test_pt_on_reduced_tof_posterior_traverses_ridge():

@@ -32,12 +32,35 @@ REFERENCE = "/root/reference"
 # PARITY_LIKELIHOOD=reference (faithful sawtooth form; sticky chains,
 # loose medians) | poisson (correct logpmf BOTH sides; sharp comparison)
 LIKELIHOOD = os.environ.get("PARITY_LIKELIHOOD", "reference")
+# PARITY_SAMPLING=mc|counts: OUR side's forward estimator ('counts' =
+# the Poissonized Rao-Blackwell production mode).  The reference side is
+# always its own per-sample pipeline; a counts run reuses the mc study's
+# observed data + reference chain (copied into its own out dir).
+SAMPLING = os.environ.get("PARITY_SAMPLING", "mc")
 OUT = os.path.join(REPO, "out",
                    "parity" if LIKELIHOOD == "reference"
                    else f"parity_{LIKELIHOOD}")
+BASE_OUT = OUT
+if SAMPLING != "mc":
+    OUT += f"_{SAMPLING}"
 if os.environ.get("PARITY_RUNS") or os.environ.get("PARITY_DRAWS"):
-    OUT += f"_r{os.environ.get('PARITY_RUNS', '4')}" \
-           f"_d{os.environ.get('PARITY_DRAWS', '10000')}" 
+    suffix = (f"_r{os.environ.get('PARITY_RUNS', '4')}"
+              f"_d{os.environ.get('PARITY_DRAWS', '10000')}")
+    OUT += suffix
+    BASE_OUT += suffix
+
+
+def _seed_from_base():
+    """counts study inherits the mc study's shared inputs/reference."""
+    if OUT == BASE_OUT:
+        return
+    import shutil
+    os.makedirs(OUT, exist_ok=True)
+    for name in ("observed.npz", "reference_chain.npz"):
+        dst = os.path.join(OUT, name)
+        src = os.path.join(BASE_OUT, name)
+        if not os.path.exists(dst) and os.path.exists(src):
+            shutil.copy(src, dst)
 
 N_RUNS = int(os.environ.get("PARITY_RUNS", "4"))
 N_DRAWS = int(os.environ.get("PARITY_DRAWS", "10000"))
@@ -279,6 +302,7 @@ def run_reference():
 
 
 def run_ours():
+    _seed_from_base()
     observed = _load_observed()
     sys.path.insert(0, REPO)
     import jax
@@ -290,7 +314,7 @@ def run_ours():
     from mcmctoffitting_tpu.models import simult
     from mcmctoffitting_tpu.sampler import (init_state, make_logp_batch,
                                             run_mcmc)
-    spec = simult.default_spec(n_samples=N_DRAWS)
+    spec = simult.default_spec(n_samples=N_DRAWS, sampling=SAMPLING)
     problem = simult.SimultFitProblem(spec, n_runs=N_RUNS,
                                       likelihood=LIKELIHOOD)
     logp = problem.make_log_prob_fn(observed)
@@ -313,7 +337,8 @@ def run_ours():
 def report():
     ref = np.load(os.path.join(OUT, "reference_chain.npz"))
     ours = np.load(os.path.join(OUT, "ours_chain.npz"))
-    lines = [f"Posterior parity [{LIKELIHOOD}], {N_RUNS} runs x "
+    lines = [f"Posterior parity [{LIKELIHOOD}, ours={SAMPLING}], "
+             f"{N_RUNS} runs x "
              f"{N_WALKERS} walkers x {N_MAIN} main steps, shared data",
              f"reference: {float(ref['elapsed']):.0f}s "
              f"acc={float(ref['acc']):.2f} | ours: "
@@ -345,7 +370,7 @@ def report():
     with open(os.path.join(OUT, "report.txt"), "w") as f:
         f.write(text + "\n")
     with open(os.path.join(OUT, "summary.json"), "w") as f:
-        json.dump({"worst_dz": worst}, f)
+        json.dump({"worst_dz": worst, "sampling": SAMPLING}, f)
 
 
 if __name__ == "__main__":

@@ -73,8 +73,12 @@ def main():
     truth = np.array([1300.0, 80.0, 0.6, 5e4, 5e4, 5e4, 20.0, 20.0, 20.0])
     observed = data_io.synthesize_observed(jax.random.fold_in(key, 9),
                                            problem, truth)
+    # per-mode chunk default as in bench.py: the per-sample mc path needs
+    # the memory cap; counts/expected per-walker state is O(F) and vmaps
+    # the full half-ensemble (--chunk 0 = unchunked explicitly)
+    chunk = _arg("--chunk", 32 if sampling == "mc" else 0) or None
     logp_batch = make_logp_batch(problem.make_log_prob_fn(observed),
-                                 chunk=_arg("--chunk", 32))
+                                 chunk=chunk)
     p0 = problem.initial_walkers_from_observed(
         jax.random.fold_in(key, 1), n_walkers, observed)
 
