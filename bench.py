@@ -22,7 +22,9 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
-N_WALKERS = 256
+# 256 = the reference flagship default; BENCH_WALKERS sweeps ensemble size
+# (the chip is far from saturated at 256 in counts mode — see RESULTS_r3)
+N_WALKERS = int(os.environ.get("BENCH_WALKERS", "256"))
 N_RUNS = 4
 N_DRAWS = 200_000
 N_STEPS_MEASURE = 10
@@ -222,7 +224,8 @@ def main() -> None:
     out = {
         "metric": "simultFit_walker_steps_per_sec",
         "value": round(value, 3),
-        "unit": "walker-steps/s (256 walkers, 4 runs, 200k draws/eval)",
+        "unit": (f"walker-steps/s ({N_WALKERS} walkers, {N_RUNS} runs, "
+                 "200k draws/eval)"),
         "vs_baseline": round(value / baseline, 2) if baseline else None,
         "mfu_pct_v5e_bf16_peak": round(100 * mfu, 3),
         "sampling": headline,
