@@ -108,3 +108,30 @@ def test_bench_mesh_smoke(monkeypatch):
     rate, mfu, n_dev = bench.measure_tpu(sampling="counts")
     assert rate > 0 and np.isfinite(mfu)
     assert n_dev == 8
+
+
+def test_sharded_counts_mode_matches_local(mesh):
+    """Same sharded==local invariant for the production counts estimator:
+    its Poisson cell draws are keyed per walker, so sharding must not
+    change the count streams either."""
+    from mcmctoffitting_tpu.models import simult
+
+    spec = simult.default_spec(n_samples=4096, sampling="counts")
+    problem = simult.SimultFitProblem(spec, n_runs=2)
+    rng = np.random.default_rng(11)
+    observed = tuple(rng.poisson(150.0, w.n_bins).astype(np.float64)
+                     for w in problem.windows)
+    logp = problem.make_log_prob_fn(observed)
+    logp_local = make_logp_batch(logp)
+    logp_sharded = make_sharded_logp_batch(logp, mesh)
+
+    p0 = problem.initial_walkers_from_observed(
+        jax.random.PRNGKey(12), 16, observed)
+    s_local = init_state(jax.random.PRNGKey(13), p0, logp_local)
+    s_shard = init_state(jax.random.PRNGKey(13), p0, logp_sharded)
+    c_local = run_mcmc(s_local, 5, logp_local)
+    c_shard = run_mcmc(s_shard, 5, logp_sharded)
+    np.testing.assert_allclose(np.asarray(c_local.positions),
+                               np.asarray(c_shard.positions), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(c_local.log_probs),
+                               np.asarray(c_shard.log_probs), rtol=2e-4)
