@@ -47,6 +47,10 @@ SAMPLING = os.environ.get("BENCH_SAMPLING", "")
 # shard the walker axis over this many devices (0 = all visible); on a
 # single-chip host this is a no-op, so the knob is always safe to set
 MESH = int(os.environ.get("BENCH_MESH", "0"))
+# PRNG implementation A/B ('threefry2x32' default | 'rbg' = the TPU's
+# hardware RNG instruction; counts/mc are PRNG+transcendental-bound, so
+# the generator is on the critical path)
+PRNG = os.environ.get("BENCH_PRNG", "")
 
 
 def _log(msg: str) -> None:
@@ -62,6 +66,8 @@ def measure_tpu(sampling: str = "counts") -> tuple[float, float, int]:
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    if PRNG:
+        jax.config.update("jax_default_prng_impl", PRNG)
 
     from mcmctoffitting_tpu.models import simult
     from mcmctoffitting_tpu.sampler import (init_state, make_logp_batch,
@@ -91,7 +97,10 @@ def measure_tpu(sampling: str = "counts") -> tuple[float, float, int]:
     problem = simult.SimultFitProblem(spec, n_runs=N_RUNS)
     key = jax.random.PRNGKey(0)
     truth = np.concatenate([simult.GUESS_SHARED, np.full(N_RUNS, 5.0e4)])
-    observed = data_io.synthesize_observed(jax.random.fold_in(key, 9),
+    # observed-data synthesis needs jax.random.poisson (threefry-only);
+    # only the TIMED sampling path below runs under BENCH_PRNG
+    synth_key = jax.random.key(0, impl="threefry2x32")
+    observed = data_io.synthesize_observed(jax.random.fold_in(synth_key, 9),
                                            problem, truth)
     logp = problem.make_log_prob_fn(observed)
     devices = jax.devices()

@@ -122,4 +122,26 @@ def run_phases(state, phases, logp_batch, *, n_walkers: int = 0,
         chain_io.save_checkpoint(
             prefix + f"{phase.replace('-', '')}.ckpt.npz", state,
             extra=extra)
+        _print_diagnostics(phase, path)
     return state, total_steps, time.time() - t0
+
+
+def _print_diagnostics(phase: str, chain_path: str) -> None:
+    """End-of-phase convergence report (tau / ESS / split R-hat).
+
+    The reference never shipped this (its ``sampler.acor`` printout is
+    commented out, ``tests/shiftingGaussian_brute.py:324-326``) and its
+    hard-coded chain lengths under-sample degenerate ridges by up to ~10x
+    (RESULTS_r3.md).  Host-side numpy on the streamed chain file; skipped
+    silently for chains too short to window.
+    """
+    from ..utils import chain_io
+    from ..utils.diagnostics import chain_summary, format_summary
+
+    try:
+        chain, _, _, _, n_steps = chain_io.read_chain_text(chain_path)
+        if n_steps < 8:
+            return
+        print(f"{phase}: {format_summary(chain_summary(chain))}", flush=True)
+    except Exception as e:  # diagnostics must never kill a finished fit
+        print(f"{phase}: diagnostics skipped ({e})", flush=True)

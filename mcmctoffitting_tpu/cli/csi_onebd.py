@@ -86,6 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accepted for surface parity and ignored: the MPI "
                         "pool is replaced by jax.distributed + mesh "
                         "sharding (reference tests/csi_oneBD.py:61)")
+    p.add_argument("-prng", choices=["threefry2x32", "rbg"], default=None,
+                   help="PRNG implementation (default: jax's). rbg uses "
+                        "the TPU's hardware generator; every sampler in "
+                        "the package is impl-agnostic (ops/poisson.py "
+                        "replaces the threefry-only jax.random.poisson). "
+                        "Changes draw streams, not distributions.")
     return p
 
 
@@ -95,6 +101,9 @@ def main(argv=None) -> dict:
     import dataclasses
 
     import jax
+
+    if args.prng:
+        jax.config.update("jax_default_prng_impl", args.prng)
 
     from ..models import onebd
     from ..parallel import make_mesh, make_sharded_logp_batch

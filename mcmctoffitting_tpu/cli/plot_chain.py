@@ -37,6 +37,17 @@ def main(argv=None) -> dict:
     print(f"chain: {n_steps} steps x {n_walkers} walkers x {n_params} params")
     names = args.paramNames.split(",") if args.paramNames else None
 
+    summary = None
+    if n_steps >= 8:
+        from ..utils.diagnostics import chain_summary, format_summary
+        summary = chain_summary(chain)
+        print(format_summary(summary))
+        per = "  ".join(f"p{d}: tau={summary['tau'][d]:.1f} "
+                        f"ess={summary['ess'][d]:.0f} "
+                        f"rhat={summary['rhat'][d]:.3f}"
+                        for d in range(n_params))
+        print(per)
+
     trace_plot(chain, names, args.outputPrefix + "trace.png")
     for d in range(n_params):
         lnprob_scatter(chain, probs, d,

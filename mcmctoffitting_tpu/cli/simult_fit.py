@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accepted for surface parity and ignored: the MPI "
                         "pool is replaced by jax.distributed + mesh "
                         "sharding (reference tests/simultFit.py:688-706)")
+    p.add_argument("-prng", choices=["threefry2x32", "rbg"], default=None,
+                   help="PRNG implementation (default: jax's). rbg uses "
+                        "the TPU's hardware generator; every sampler in "
+                        "the package is impl-agnostic (ops/poisson.py "
+                        "replaces the threefry-only jax.random.poisson). "
+                        "Changes draw streams, not distributions.")
     return p
 
 
@@ -86,6 +92,9 @@ def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
 
     import jax
+
+    if args.prng:
+        jax.config.update("jax_default_prng_impl", args.prng)
 
     from ..models import simult
     from ..parallel import make_mesh, make_sharded_logp_batch

@@ -40,6 +40,7 @@ from ..ops.histogram import (histogram_density, weighted_histogram,
                              weighted_histogram_multi_window)
 from ..ops.kinematics import dd_neutron_energy_np, tof
 from ..ops.pdfs import beam_energy_rvs, skewnorm_rvs
+from ..ops.poisson import poisson_ptrs
 from ..ops.stopping import BetheStopping, StoppingTable, rk4_transport
 from ..ops.timing import (ExGaussianTiming, ZeroDegreeTimingSpread,
                           apply_zero_degree_expo)
@@ -506,8 +507,8 @@ def _add_background(spec: ForwardSpec, spectrum, bg_level, key, n_bins):
     ``tests/csi_oneBD.py:521``) or its expectation (bg_mode='expected')."""
     if spec.bg_mode == "expected":
         return spectrum + bg_level
-    return spectrum + jax.random.poisson(
-        key, bg_level, (n_bins,)).astype(spectrum.dtype)
+    return spectrum + poisson_ptrs(
+        key, jnp.full((n_bins,), bg_level)).astype(spectrum.dtype)
 
 
 def cell_tof_lattice(spec: ForwardSpec, standoff: float, e0_mean):

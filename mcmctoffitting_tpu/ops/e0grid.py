@@ -360,6 +360,8 @@ def poissonized_moments(key, table: E0GridTable, beam_e, e_loss, scale, s,
     import jax.numpy as jnp
     from jax.scipy.special import ndtr
 
+    from .poisson import poisson_ptrs
+
     sbar, _ = expected_moments(table, beam_e, e_loss, scale, s,
                                n_samples, truncated)          # (4, F)
     lam = jnp.where(jnp.isfinite(sbar[0]), jnp.maximum(sbar[0], 0.0), 0.0)
@@ -404,7 +406,9 @@ def poissonized_moments(key, table: E0GridTable, beam_e, e_loss, scale, s,
 
     lam_all = jnp.concatenate(
         [lam, lam_below[None], lam_above[None]])
-    counts = jax.random.poisson(key, lam_all).astype(jnp.float32)
+    # exact uniforms-only sampler: 1.27x jax.random.poisson on v5e at the
+    # production shape (and PRNG-impl-agnostic); tools/tpu_poisson_probe.py
+    counts = poisson_ptrs(key, lam_all).astype(jnp.float32)
     moments = counts[None, : table.n_fine] * jnp.where(
         lam[None, :] > 0, m, 0.0)                             # (4, F)
 

@@ -65,7 +65,19 @@ def synthesize_observed(key, problem, theta_truth, *, get_pdf=True):
     for run, _ in enumerate(problem.windows):
         k_run = jax.random.fold_in(key, 1000 + run)
         model = problem.run_spectrum(k_run, theta, run, get_pdf=get_pdf)
+        # stays on jax.random.poisson (threefry) deliberately: synthetic
+        # observed data is keyed by seed and reproduced across sessions
+        # (ppc_coverage_study, resume fingerprints); swapping the sampler
+        # would silently re-synthesize different data for old chains.
+        # One-time setup work — not on the sampling hot path.  Under a
+        # non-threefry impl (-prng rbg) jax.random.poisson raises; fall
+        # back to the impl-agnostic exact sampler (different stream —
+        # consistent with -prng's documented contract).
         k_noise = jax.random.fold_in(key, 2000 + run)
-        counts = jax.random.poisson(k_noise, jnp.maximum(model, 0.0))
+        try:
+            counts = jax.random.poisson(k_noise, jnp.maximum(model, 0.0))
+        except NotImplementedError:
+            from ..ops.poisson import poisson_ptrs
+            counts = poisson_ptrs(k_noise, jnp.maximum(model, 0.0))
         observed.append(np.asarray(counts, dtype=np.float64))
     return tuple(observed)

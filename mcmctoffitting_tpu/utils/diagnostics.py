@@ -1,111 +1,124 @@
-"""Fit diagnostics: verbose likelihood tables, acceptance, convergence.
+"""Ensemble-chain convergence diagnostics: autocorrelation time, ESS, R-hat.
 
-Rebuilds the reference's debug-in-lieu-of-fixtures tooling (SURVEY.md §4
-item 7): ``checkLikelihoodEval`` per-bin likelihood dumps
-(``tests/simultFit.py:474-512``), verbose ``lnlikeHelp``
-(``tests/simultFit_oneParam.py:198-229``), and acceptance-fraction
-reporting (``tests/shiftingGaussian_brute.py:329-334``) — plus integrated
-autocorrelation time and Gelman-Rubin R-hat, which the reference lacked.
+The reference intended these and never shipped them — its PTSampler driver
+has the ``sampler.acor`` printout commented out
+(``tests/shiftingGaussian_brute.py:324-326``), and every chain-length
+choice in the reference is a hard-coded guess.  The round-2/3 parity
+studies showed why that matters: short ensemble chains on the degenerate
+eLoss/scale/s ridge report posterior widths up to ~10x too narrow
+(RESULTS_r3.md "oneBD posterior parity").  These host-side metrics make
+under-sampling visible at the end of every fit.
+
+Implementation notes (all numpy; chains are (S, W, D) = steps x walkers x
+params, the shape run_phases streams):
+
+* ``integrated_autocorr_time`` follows the Goodman-Weare practice used by
+  emcee: per-walker FFT autocorrelation averaged over walkers, then
+  Sokal's adaptive window  M = min{m : m >= c * tau_hat(m)}  with c = 5.
+  tau is in units of ensemble steps; effective sample size uses S*W/tau
+  (walkers are exchangeable but correlated through the ensemble move,
+  which the walker-averaged autocorrelation captures).
+* ``split_rhat`` is the classic Gelman-Rubin potential scale reduction on
+  the first/second half of every walker trace (2W half-chains).  For
+  ensemble samplers R-hat can read clean while tau is still large, so
+  both are reported; tau is the authoritative one.
 """
 from __future__ import annotations
 
 import numpy as np
 
+__all__ = ["integrated_autocorr_time", "effective_sample_size",
+           "split_rhat", "chain_summary", "format_summary"]
 
-def likelihood_table(model, observed) -> list[dict]:
-    """Per-bin likelihood breakdown (the checkLikelihoodEval table).
 
-    Returns one dict per bin with the clamped values and the reference
-    Poisson-form contribution, for eyeballing which bins drive the fit.
+def _next_pow_two(n: int) -> int:
+    i = 1
+    while i < n:
+        i <<= 1
+    return i
+
+
+def _autocorr_1d(x: np.ndarray) -> np.ndarray:
+    """Normalized autocorrelation function of a 1-D series (FFT method)."""
+    x = np.asarray(x, np.float64)
+    n = len(x)
+    f = np.fft.rfft(x - x.mean(), n=2 * _next_pow_two(n))
+    acf = np.fft.irfft(f * np.conjugate(f))[:n]
+    if acf[0] <= 0.0:  # constant series (stuck walker): define rho = 1
+        return np.ones(n)
+    return acf / acf[0]
+
+
+def integrated_autocorr_time(chain: np.ndarray, *, c: float = 5.0
+                             ) -> np.ndarray:
+    """Per-parameter integrated autocorrelation time tau (ensemble steps).
+
+    ``chain``: (S, W, D).  Returns (D,).  tau ~ S means "chain too short
+    to estimate" (the Sokal window never closed); callers should compare
+    S against ~50 * tau for a trustworthy posterior.
     """
-    from scipy.special import gammaln
-
-    model = np.asarray(model, dtype=np.float64)
-    observed = np.asarray(observed, dtype=np.float64)
-    rows = []
-    for b in range(len(observed)):
-        o = observed[b] if observed[b] != 0 else 1.0
-        m = model[b] if model[b] != 0 else 1.0
-        poi = -o - gammaln(int(m) + 1) + (m * np.log(o) if m > 0 else 0.0)
-        rows.append({
-            "bin": b, "observed": observed[b], "model": model[b],
-            "obs_clamped": o, "model_clamped": m,
-            "contribution": o * poi, "residual": observed[b] - model[b],
-        })
-    return rows
-
-
-def print_likelihood_table(model, observed) -> float:
-    rows = likelihood_table(model, observed)
-    total = 0.0
-    print(f"{'bin':>4} {'obs':>10} {'model':>12} {'contrib':>14} {'resid':>10}")
-    for r in rows:
-        total += r["contribution"]
-        print(f"{r['bin']:>4} {r['observed']:>10.1f} {r['model']:>12.3f} "
-              f"{r['contribution']:>14.2f} {r['residual']:>10.2f}")
-    print(f"total log-likelihood: {total:.3f}")
-    return total
+    chain = np.asarray(chain, np.float64)
+    s, w, d = chain.shape
+    taus = np.empty(d)
+    for j in range(d):
+        # mean autocorrelation over walkers (emcee's estimator)
+        rho = np.zeros(s)
+        for k in range(w):
+            rho += _autocorr_1d(chain[:, k, j])
+        rho /= w
+        tau_hat = 2.0 * np.cumsum(rho) - 1.0
+        window = np.arange(s) >= c * tau_hat
+        m = int(np.argmax(window)) if window.any() else s - 1
+        taus[j] = max(tau_hat[m], 1.0)
+    return taus
 
 
-def acceptance_report(chain) -> dict:
-    """Mean/min/max acceptance fraction (PTSampler-style printout,
-    ``tests/shiftingGaussian_brute.py:329-334``)."""
-    acc = np.asarray(chain.acceptance_fraction)
-    return {"mean": float(acc.mean()), "min": float(acc.min()),
-            "max": float(acc.max()),
-            "healthy": bool(0.1 < acc.mean() < 0.9)}
+def effective_sample_size(chain: np.ndarray, *, c: float = 5.0
+                          ) -> np.ndarray:
+    """Per-parameter ESS = S * W / tau for an (S, W, D) chain."""
+    s, w, _ = np.asarray(chain).shape
+    return s * w / integrated_autocorr_time(chain, c=c)
 
 
-def integrated_autocorr_time(chain_1d, c: float = 5.0) -> float:
-    """Sokal-style automatic-windowing IAT estimate for one parameter.
-
-    chain_1d: (S, W) per-walker series; averages the autocorrelation over
-    walkers (the emcee-v3 estimator's structure).
-    """
-    x = np.asarray(chain_1d, dtype=np.float64)
-    if x.ndim == 1:
-        x = x[:, None]
-    s, w = x.shape
-    x = x - x.mean(axis=0)
-    # FFT autocorrelation per walker; walkers with zero variance in the
-    # window (no accepted move) carry no autocorrelation information
-    n = 1 << (2 * s - 1).bit_length()
-    f = np.fft.rfft(x, n=n, axis=0)
-    acf = np.fft.irfft(f * np.conj(f), n=n, axis=0)[:s].real
-    var = acf[0].copy()
-    # relative threshold: FFT round-off leaves ~1e-29 "variance" on walkers
-    # that never moved in the window
-    moving = var > 1e-12 * max(var.max(), 1e-300)
-    if not moving.any():
-        return float(s)  # fully stuck: IAT at least the window length
-    acf = acf[:, moving] / var[moving]
-    rho = acf.mean(axis=1)
-    taus = 2.0 * np.cumsum(rho) - 1.0
-    window = np.arange(len(taus)) < c * taus
-    if window.all():
-        return float(taus[-1])
-    m = int(np.argmin(window))
-    return float(taus[m])
-
-
-def gelman_rubin(chain) -> np.ndarray:
-    """Split R-hat per parameter from an (S, W, D) chain."""
-    x = np.asarray(chain, dtype=np.float64)
-    s, w, d = x.shape
+def split_rhat(chain: np.ndarray) -> np.ndarray:
+    """Split Gelman-Rubin R-hat per parameter for an (S, W, D) chain."""
+    chain = np.asarray(chain, np.float64)
+    s, w, d = chain.shape
     half = s // 2
-    segs = np.concatenate([x[:half], x[half: 2 * half]], axis=1)  # (half, 2W, D)
-    m = segs.shape[1]
-    means = segs.mean(axis=0)                # (2W, D)
-    variances = segs.var(axis=0, ddof=1)     # (2W, D)
-    between = half * means.var(axis=0, ddof=1)
-    within = variances.mean(axis=0)
-    var_est = (half - 1) / half * within + between / half
-    return np.sqrt(var_est / within)
+    if half < 2:
+        return np.full(d, np.nan)
+    # 2W half-chains of length `half`
+    parts = np.concatenate([chain[:half], chain[s - half:]], axis=1)
+    m, n = parts.shape[1], half
+    means = parts.mean(axis=0)                      # (2W, D)
+    vars_ = parts.var(axis=0, ddof=1)               # (2W, D)
+    b = n * means.var(axis=0, ddof=1)               # between
+    w_ = vars_.mean(axis=0)                         # within
+    var_plus = (n - 1) / n * w_ + b / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rhat = np.sqrt(var_plus / w_)
+    return rhat
 
 
-def effective_sample_size(chain) -> np.ndarray:
-    """ESS per parameter: S*W / IAT."""
-    x = np.asarray(chain)
-    s, w, d = x.shape
-    return np.array([s * w / max(integrated_autocorr_time(x[:, :, i]), 1.0)
-                     for i in range(d)])
+def chain_summary(chain: np.ndarray, *, c: float = 5.0) -> dict:
+    """tau / ESS / R-hat plus a short-chain flag, for end-of-fit printing."""
+    chain = np.asarray(chain)
+    s = chain.shape[0]
+    tau = integrated_autocorr_time(chain, c=c)
+    ess = s * chain.shape[1] / tau
+    rhat = split_rhat(chain)
+    return {"n_steps": int(s), "tau": tau, "ess": ess, "rhat": rhat,
+            # emcee's reliability rule of thumb: S >= 50 * tau
+            "converged": bool(s >= 50 * np.max(tau))}
+
+
+def format_summary(summary: dict) -> str:
+    tau, ess, rhat = summary["tau"], summary["ess"], summary["rhat"]
+    worst = int(np.argmax(tau))
+    line = (f"diagnostics: tau = {np.max(tau):.1f} steps (param {worst}), "
+            f"min ESS = {np.min(ess):.0f}, max R-hat = {np.nanmax(rhat):.3f}")
+    if not summary["converged"]:
+        line += (f"  [WARNING: chain has {summary['n_steps']} steps "
+                 f"< 50*tau = {50 * np.max(tau):.0f} — posterior widths "
+                 "may be underestimated]")
+    return line

@@ -1,130 +1,65 @@
-"""Diagnostics/optimize/profiling utilities."""
-import jax
-import jax.numpy as jnp
+"""Oracle tests for utils/diagnostics.py (pure numpy, no device work).
+
+AR(1) chains have a closed-form integrated autocorrelation time
+tau = (1 + phi) / (1 - phi); the estimator must recover it, read ~1 on
+iid chains, and split R-hat must flag non-stationary drift.
+"""
 import numpy as np
 
-from mcmctoffitting_tpu.utils.diagnostics import (acceptance_report,
+from mcmctoffitting_tpu.utils.diagnostics import (chain_summary,
                                                   effective_sample_size,
-                                                  gelman_rubin,
+                                                  format_summary,
                                                   integrated_autocorr_time,
-                                                  likelihood_table,
-                                                  print_likelihood_table)
+                                                  split_rhat)
 
 
-def test_likelihood_table_matches_reference_form():
-    from scipy.special import gammaln
-    model = np.array([10.0, 0.0, 55.5])
-    obs = np.array([12.0, 0.0, 50.0])
-    rows = likelihood_table(model, obs)
-    assert len(rows) == 3
-    # clamping semantics
-    assert rows[1]["obs_clamped"] == 1.0 and rows[1]["model_clamped"] == 1.0
-    # contribution formula
-    o, m = 12.0, 10.0
-    want = o * (-o - gammaln(int(m) + 1) + m * np.log(o))
-    np.testing.assert_allclose(rows[0]["contribution"], want, rtol=1e-10)
-    total = print_likelihood_table(model, obs)
-    np.testing.assert_allclose(total,
-                               sum(r["contribution"] for r in rows))
+def _ar1_chain(rng, phi, s=4000, w=16, d=1):
+    x = np.zeros((s, w, d))
+    innov = rng.normal(size=(s, w, d)) * np.sqrt(1.0 - phi ** 2)
+    for t in range(1, s):
+        x[t] = phi * x[t - 1] + innov[t]
+    return x
 
 
-def test_acceptance_report():
-    class FakeChain:
-        acceptance_fraction = np.array([0.3, 0.4, 0.5])
-    rep = acceptance_report(FakeChain())
-    assert rep["healthy"] and abs(rep["mean"] - 0.4) < 1e-9
-
-
-def test_autocorr_white_noise_is_one():
+def test_ar1_tau_matches_closed_form():
     rng = np.random.default_rng(0)
-    x = rng.standard_normal((2000, 8))
-    tau = integrated_autocorr_time(x)
-    assert 0.5 < tau < 1.8
+    for phi in (0.5, 0.9):
+        chain = _ar1_chain(rng, phi)
+        tau_true = (1.0 + phi) / (1.0 - phi)
+        tau = integrated_autocorr_time(chain)[0]
+        assert abs(tau - tau_true) / tau_true < 0.25, (phi, tau, tau_true)
 
 
-def test_autocorr_ar1_larger():
+def test_iid_chain_is_clean():
     rng = np.random.default_rng(1)
-    n, w, phi = 4000, 4, 0.9
-    x = np.zeros((n, w))
-    for t in range(1, n):
-        x[t] = phi * x[t - 1] + rng.standard_normal(w)
-    tau = integrated_autocorr_time(x)
-    # AR(1) IAT = (1+phi)/(1-phi) = 19
-    assert 10 < tau < 30
+    chain = rng.normal(size=(500, 32, 3))
+    tau = integrated_autocorr_time(chain)
+    assert np.all(tau < 1.7)
+    assert np.all(effective_sample_size(chain) > 500 * 32 / 1.7)
+    assert np.all(np.abs(split_rhat(chain) - 1.0) < 0.02)
 
 
-def test_gelman_rubin_converged_vs_not():
+def test_drift_flags_rhat():
     rng = np.random.default_rng(2)
-    good = rng.standard_normal((500, 8, 2))
-    r_good = gelman_rubin(good)
-    assert np.all(r_good < 1.1)
-    bad = good.copy()
-    bad[:, :4, 0] += 10.0  # half the walkers in a different mode
-    r_bad = gelman_rubin(bad)
-    assert r_bad[0] > 1.5
+    chain = rng.normal(size=(400, 16, 2))
+    chain[200:, :, 0] += 5.0  # second half jumps: non-stationary
+    rhat = split_rhat(chain)
+    assert rhat[0] > 1.5 and abs(rhat[1] - 1.0) < 0.05
 
 
-def test_effective_sample_size():
+def test_short_chain_warns():
     rng = np.random.default_rng(3)
-    x = rng.standard_normal((1000, 4, 2))
-    ess = effective_sample_size(x)
-    assert ess.shape == (2,)
-    assert (ess > 1000).all()  # white noise: ESS ~ S*W
+    s = chain_summary(_ar1_chain(rng, 0.9, s=60, w=8))
+    assert not s["converged"]
+    assert "WARNING" in format_summary(s)
+    long = chain_summary(rng.normal(size=(400, 16, 2)))
+    assert long["converged"]
+    assert "WARNING" not in format_summary(long)
 
 
-def test_minimize_nll_finds_gaussian_mode():
-    from mcmctoffitting_tpu.utils.optimize import minimize_nll
-
-    def logp(theta, key):
-        return -0.5 * jnp.sum((theta - jnp.asarray([2.0, -1.0])) ** 2)
-
-    res = minimize_nll(logp, np.zeros(2), method="Nelder-Mead")
-    np.testing.assert_allclose(res.x, [2.0, -1.0], atol=1e-3)
-
-
-def test_adam_map():
-    from mcmctoffitting_tpu.utils.optimize import adam_map
-
-    def logp(theta, key):
-        return -0.5 * jnp.sum((theta - 3.0) ** 2)
-
-    x, loss = adam_map(logp, np.zeros(3), steps=400, learning_rate=0.1)
-    np.testing.assert_allclose(x, 3.0, atol=0.05)
-
-
-def test_throughput_meter():
-    from mcmctoffitting_tpu.utils.profiling import Throughput
-    m = Throughput(n_walkers=10)
-    rate = m.update(5)
-    assert rate > 0 and m.steps == 5
-
-
-def test_initial_energy_plot(tmp_path):
-    from mcmctoffitting_tpu.utils.plotting import initial_energy_plot
-    f = str(tmp_path / "e0.png")
-    initial_energy_plot(1878.4, 850.0, 170.0, 0.5, f, n_samples=5000)
-    import os
-    assert os.path.getsize(f) > 1000
-
-
-def test_model_overlay_plot(tmp_path):
-    from mcmctoffitting_tpu.utils.plotting import model_overlay_plot
-    rng = np.random.default_rng(5)
-    obs = rng.poisson(200, 45)
-    mod = obs + rng.normal(0, 10, 45)
-    f = str(tmp_path / "overlay.png")
-    model_overlay_plot(obs, mod, f)
-    import os
-    assert os.path.getsize(f) > 1000
-
-
-def test_autocorr_handles_stuck_walkers():
-    rng = np.random.default_rng(6)
-    x = rng.standard_normal((500, 4))
-    x[:, 2] = 1.234  # stuck walker: zero variance
-    from mcmctoffitting_tpu.utils.diagnostics import integrated_autocorr_time
-    tau = integrated_autocorr_time(x)
-    assert np.isfinite(tau) and 0.4 < tau < 2.0
-    # fully stuck ensemble -> window length
-    allstuck = np.ones((200, 3))
-    assert integrated_autocorr_time(allstuck) == 200.0
+def test_stuck_walker_does_not_crash():
+    rng = np.random.default_rng(4)
+    chain = rng.normal(size=(200, 8, 2))
+    chain[:, 3, 1] = 7.0  # constant trace
+    tau = integrated_autocorr_time(chain)
+    assert np.all(np.isfinite(tau))
