@@ -274,13 +274,11 @@ def expected_moments(table: E0GridTable, beam_e, e_loss, scale, s,
 
     # e0 cell [a, b] -> W interval [w_lo, w_hi] (map is decreasing in W)
     w_of = lambda e0: (beam_e - e0 - e_loss) / safe_scale
-    w_hi = w_of(edges[:-1])                               # (F+1-1,) per cell
-    w_lo = w_of(edges[1:])
+    w_edges = w_of(edges)                                 # (F+1,) decreasing
     if truncated:
         # condition on e0 > 0  <=>  W < w_max
         w_max = w_of(0.0)
-        w_lo = jnp.minimum(w_lo, w_max)
-        w_hi = jnp.minimum(w_hi, w_max)
+        w_edges = jnp.minimum(w_edges, w_max)
 
     def partial(j, lo, hi):
         """E[W^j; lo < W < hi] (0 where the interval is empty/negative)."""
@@ -290,7 +288,17 @@ def expected_moments(table: E0GridTable, beam_e, e_loss, scale, s,
                - ndtr(jnp.log(lo_c) / safe_s - j * safe_s))
         return jnp.exp(0.5 * j * j * safe_s * safe_s) * jnp.maximum(amt, 0.0)
 
-    p = [partial(j, w_lo, w_hi) for j in range(4)]        # each (F,)
+    # adjacent cells SHARE an edge: evaluate the ndtr chain once on the
+    # (4, F+1) edge grid and difference, instead of per-cell lo/hi pairs
+    # (which XLA does not CSE across the overlapping slices) — halves the
+    # dominant transcendental stage (RESULTS_r3.md stage split).  Same
+    # expression tree per edge as partial(), so values are unchanged.
+    js = jnp.arange(4, dtype=jnp.float32)
+    logw = jnp.log(jnp.maximum(w_edges, 1e-30)) / safe_s  # (F+1,)
+    nd = ndtr(logw[None, :] - js[:, None] * safe_s)       # (4, F+1)
+    amt = jnp.maximum(nd[:, :-1] - nd[:, 1:], 0.0)        # hi - lo, (4, F)
+    pm = jnp.exp(0.5 * js * js * safe_s * safe_s)[:, None] * amt
+    p = [pm[0], pm[1], pm[2], pm[3]]                      # each (F,)
 
     # t = A - B W with A = (beamE - t_ref - eLoss)/t_scale, B = scale/t_scale
     a_c = (beam_e - table.t_ref - e_loss) / table.t_scale
