@@ -128,6 +128,80 @@ def test_mismatched_table_rejected():
         energy_weight_grid(stripped, np.zeros(8, np.float32))
 
 
+@pytest.mark.parametrize("truncated", [True, False])
+@pytest.mark.parametrize("theta", [
+    (1878.4, 850.0, 170.0, 0.55),
+    (2490.0, 1300.0, 80.0, 0.6),
+    (1878.4, 850.0, 40.0, 0.1),      # narrow density: few occupied cells
+])
+def test_expected_moments_vs_percell_oracle(theta, truncated):
+    """The production (4, F+1) shared-edge ndtr evaluation must equal the
+    straightforward per-cell formula E[W^j; w_lo < W < w_hi] evaluated
+    independently in f64 (scipy ndtr).  Guards the edge-sharing rewrite."""
+    from scipy.special import ndtr as ndtr64
+    from mcmctoffitting_tpu.ops.e0grid import expected_moments
+
+    beam_e, e_loss, scale, s = theta
+    spec = simult.default_spec(n_samples=1000, xs_mode="e0grid")
+    tab = spec.e0_grid_table
+    n_samples = 2.0e5
+
+    S, e0_mean = expected_moments(tab, beam_e, e_loss, scale, s,
+                                  n_samples, truncated)
+    S = np.asarray(S, np.float64)
+
+    # independent per-cell oracle, f64
+    f = tab.n_fine
+    edges = tab.e0_lo + (tab.e0_hi - tab.e0_lo) / f * np.arange(f + 1)
+    w_hi = (beam_e - edges[:-1] - e_loss) / scale
+    w_lo = (beam_e - edges[1:] - e_loss) / scale
+    if truncated:
+        w_max = (beam_e - 0.0 - e_loss) / scale
+        w_lo, w_hi = np.minimum(w_lo, w_max), np.minimum(w_hi, w_max)
+
+    def partial(j, lo, hi):
+        lo_c, hi_c = np.maximum(lo, 1e-30), np.maximum(hi, 1e-30)
+        amt = ndtr64(np.log(hi_c) / s - j * s) - ndtr64(np.log(lo_c) / s - j * s)
+        return np.exp(0.5 * j * j * s * s) * np.maximum(amt, 0.0)
+
+    p = [partial(j, w_lo, w_hi) for j in range(4)]
+    a_c = (beam_e - tab.t_ref - e_loss) / tab.t_scale
+    b_c = scale / tab.t_scale
+    ref = np.stack([
+        p[0],
+        a_c * p[0] - b_c * p[1],
+        a_c ** 2 * p[0] - 2 * a_c * b_c * p[1] + b_c ** 2 * p[2],
+        (a_c ** 3 * p[0] - 3 * a_c ** 2 * b_c * p[1]
+         + 3 * a_c * b_c ** 2 * p[2] - b_c ** 3 * p[3]),
+    ])
+    if truncated:
+        norm = partial(0, 0.0, w_max)
+        mean_w = partial(1, 0.0, w_max) / norm
+    else:
+        norm, mean_w = 1.0, np.exp(0.5 * s * s)
+    ref *= n_samples / norm
+
+    # f32 device values vs the f64 oracle: agreement to f32 resolution of
+    # the dominant moment magnitude per row
+    for k in range(4):
+        tol = 1e-5 * np.abs(ref[k]).max() + 1e-6 * n_samples
+        np.testing.assert_allclose(S[k], ref[k], atol=tol)
+    ref_mean = beam_e - e_loss - scale * mean_w
+    assert abs(float(e0_mean) - ref_mean) < 1e-3 * abs(ref_mean)
+
+
+def test_expected_moments_degenerate_params_zeroed():
+    """scale<=0 / s<=0 (reachable under traced walker proposals) must yield
+    zero moments, not NaN."""
+    from mcmctoffitting_tpu.ops.e0grid import expected_moments
+    spec = simult.default_spec(n_samples=1000, xs_mode="e0grid")
+    for scale, s in [(-1.0, 0.5), (170.0, -0.2), (0.0, 0.0)]:
+        S, _ = expected_moments(spec.e0_grid_table, 1878.4, 850.0,
+                                scale, s, 1.0e5, True)
+        S = np.asarray(S)
+        assert np.all(np.isfinite(S)) and np.all(S == 0.0)
+
+
 @pytest.mark.parametrize("preset", ["simult", "onebd"])
 def test_forward_spectrum_equivalence(preset):
     """Full tof_spectrum: e0grid vs the production taylor path."""
