@@ -43,6 +43,58 @@ def posterior_fingerprint(problem, observed) -> np.ndarray:
     return np.frombuffer(h.digest(), np.uint8).copy()
 
 
+def check_likelihood_eval(problem, observed, key, *, prefix: str = "",
+                          batch: bool = False) -> float:
+    """Verbose per-bin likelihood table at the guess point.
+
+    The reference defines ``checkLikelihoodEval`` in both flagships
+    (``tests/simultFit.py:474-512``, ``tests/csi_oneBD.py:654-712``) and
+    drives it from commented-out debug lines; this is the wired version.
+    One difference by design: the reference helper prints an ad-hoc
+    double-Gaussian bin score unrelated to the likelihood its sampler
+    uses, while this table prints the ACTIVE likelihood's per-bin
+    contributions, so the printed total is exactly the number the sampler
+    would see at this theta (minus the flat in-box prior).
+
+    Prints per-bin obs/model/loglike per run, writes the reference's
+    overlay+residual figure per run (unless ``batch``), and returns the
+    total log-likelihood.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.likelihoods import poisson_binned_terms, poisson_logpmf_terms
+
+    theta = jnp.asarray(problem.guess_theta(observed), jnp.float32)
+    spectra = jax.jit(problem.run_spectra)(theta, key)
+    terms_fn = (poisson_binned_terms
+                if getattr(problem, "likelihood", "reference") == "reference"
+                else poisson_logpmf_terms)
+    with np.printoptions(precision=4, suppress=True):
+        print(f"checkLikelihoodEval at guess theta = {np.asarray(theta)}")
+    total = 0.0
+    for run, (model, obs) in enumerate(zip(spectra, observed)):
+        model = np.asarray(model, np.float64)
+        obs = np.asarray(obs, np.float64)
+        terms = np.asarray(terms_fn(model, obs), np.float64)
+        for b in range(len(obs)):
+            print(f"run {run} bin {b}: obs {obs[b]:9.1f}  "
+                  f"model {model[b]:10.2f}  loglike {terms[b]:12.4f}")
+        run_total = float(terms.sum())
+        total += run_total
+        print(f"run {run} likelihood: {run_total:.4f}")
+        if not batch:
+            try:
+                from ..utils.plotting import model_overlay_plot
+                model_overlay_plot(
+                    obs, model,
+                    f"{prefix}likelihoodCheck_run{run}.png")
+            except Exception as e:  # matplotlib optional
+                print(f"plotting skipped: {e}")
+    print(f"total likelihood is {total:.4f}")
+    return total
+
+
 def load_resume_state(path, problem, observed, logp_batch):
     """Load a checkpoint for -resume, re-evaluating log-probs if the
     posterior fingerprint differs from this invocation's.

@@ -29,6 +29,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "uses its own skew-normal (ops/pdfs.py), which IS "
                         "the reference's custom pdf (utilities/pdfs.py)")
     p.add_argument("-quitEarly", choices=[0, 1], default=0, type=int)
+    p.add_argument("-checkLikelihoodEval", choices=[0, 1], default=0,
+                   type=int,
+                   help="print the per-bin likelihood table + overlay/"
+                        "residual figure at the guess point and exit (the "
+                        "reference's checkLikelihoodEval debug helper, "
+                        "tests/csi_oneBD.py:654-712, wired to a flag)")
     p.add_argument("-batch", choices=[0, 1], default=0, type=int)
     p.add_argument("-nDrawsPerEval", default=200_000, type=int)
     p.add_argument("-nBurninSteps", default=400, type=int)
@@ -162,6 +168,14 @@ def main(argv=None) -> dict:
     if args.quitEarly:
         print("quitEarly: setup complete")
         return {"status": "quitEarly"}
+
+    if args.checkLikelihoodEval:
+        from ._driver import check_likelihood_eval
+        total = check_likelihood_eval(problem, observed,
+                                      jax.random.fold_in(key, 3),
+                                      prefix=args.outputPrefix,
+                                      batch=bool(args.batch))
+        return {"status": "checkLikelihoodEval", "total_loglike": total}
 
     logp = problem.make_log_prob_fn(observed)
     devices = jax.devices()

@@ -28,6 +28,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-datafile", default=None, type=str,
                    help="multistandoff TSV (default: synthesize)")
     p.add_argument("-quitEarly", choices=[0, 1], default=0, type=int)
+    p.add_argument("-checkLikelihoodEval", choices=[0, 1], default=0,
+                   type=int,
+                   help="print the per-bin likelihood table + overlay/"
+                        "residual figure at the guess point and exit (the "
+                        "reference's checkLikelihoodEval debug helper, "
+                        "tests/simultFit.py:474-512, wired to a flag)")
     p.add_argument("-batch", choices=[0, 1], default=0, type=int,
                    help="suppress plots")
     p.add_argument("-forceCustomPDF", choices=[0, 1], default=0, type=int,
@@ -134,6 +140,14 @@ def main(argv=None) -> dict:
     if args.quitEarly:
         print("quitEarly: setup complete")
         return {"status": "quitEarly"}
+
+    if args.checkLikelihoodEval:
+        from ._driver import check_likelihood_eval
+        total = check_likelihood_eval(problem, observed,
+                                      jax.random.fold_in(key, 3),
+                                      prefix=args.outputPrefix,
+                                      batch=bool(args.batch))
+        return {"status": "checkLikelihoodEval", "total_loglike": total}
 
     logp = problem.make_log_prob_fn(observed)
     devices = jax.devices()

@@ -144,19 +144,24 @@ class OneBDProblem:
                                np.full(self.n_runs, NORM_HI),
                                np.full(self.n_runs, BG_HI)])
 
+    def guess_theta(self, observed, guesses=(700.0, 100.0, 0.5),
+                    bg_guess: float = 10.0) -> np.ndarray:
+        """The reference's guess point (tests/csi_oneBD.py:731-752: eLoss
+        700 'based on SRIM ish', scale 100, s 0.5, bg 10, norms
+        5*sum(observedTOF)).  The model spectrum is scale * density-pdf
+        (pdf sums to 1/binwidth = 1/4 for 4 ns bins), so the true per-run
+        scale is ~4-5x the observed total; the reference seeds with
+        5*sum(observedTOF) (tests/csi_oneBD.py:741)."""
+        norm_guesses = np.array([5.0 * float(np.sum(o)) for o in observed])
+        return np.concatenate([np.asarray(guesses), norm_guesses,
+                               np.full(self.n_runs, bg_guess)])
+
     def initial_walkers_from_observed(self, key, n_walkers, observed,
                                       guesses=(700.0, 100.0, 0.5),
                                       bg_guess: float = 10.0):
-        # default guesses mirror the reference driver exactly
-        # (tests/csi_oneBD.py:731-752: eLoss 700 'based on SRIM ish',
-        # scale 100, s 0.5, bg 10, norms 5*sum(observedTOF))
-        # the model spectrum is scale * density-pdf (pdf sums to 1/binwidth
-        # = 1/4 for 4 ns bins), so the true per-run scale is ~4-5x the
-        # observed total; the reference seeds with 5*sum(observedTOF)
-        # (tests/csi_oneBD.py:741)
-        norm_guesses = np.array([5.0 * float(np.sum(o)) for o in observed])
-        g = np.concatenate([np.asarray(guesses), norm_guesses,
-                            np.full(self.n_runs, bg_guess)])
+        # guesses + agitators * randn around the reference guess point
+        g = self.guess_theta(observed, guesses, bg_guess)
+        norm_guesses = g[3: 3 + self.n_runs]
         agit = np.concatenate([[50.0, 10.0, 0.05], 0.15 * norm_guesses,
                                np.full(self.n_runs, 2.0)])
         noise = jax.random.normal(key, (n_walkers, self.n_dim))
@@ -184,18 +189,23 @@ class OneBDProblem:
                             scale=theta[3 + run],
                             bg_level=theta[3 + self.n_runs + run])
 
-    def log_prob(self, theta, key, observed) -> jax.Array:
-        prior = box_lnprior(theta, self.param_lo, self.param_hi,
-                            inclusive=True)
+    def run_spectra(self, theta, key):
+        """Per-run model spectra exactly as the likelihood sees them
+        (one fold_in key per run; the batched multi-run forward)."""
         beam_e = onebd_consts.beam_reference_energy
         params = jnp.stack([jnp.asarray(beam_e, jnp.float32), theta[0],
                             theta[1], theta[2]])
         run_keys = [jax.random.fold_in(key, run)
                     for run in range(self.n_runs)]
-        spectra = tof_spectra_multi(
+        return tof_spectra_multi(
             run_keys, params, self.spec, self.standoffs, self.windows,
             theta[3: 3 + self.n_runs],
             theta[3 + self.n_runs: 3 + 2 * self.n_runs])
+
+    def log_prob(self, theta, key, observed) -> jax.Array:
+        prior = box_lnprior(theta, self.param_lo, self.param_hi,
+                            inclusive=True)
+        spectra = self.run_spectra(theta, key)
         loglike = (poisson_binned_loglike if self.likelihood == "reference"
                    else poisson_logpmf_loglike)
         total = prior

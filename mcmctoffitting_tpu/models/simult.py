@@ -166,13 +166,19 @@ class SimultFitProblem:
         return np.concatenate([PARAM_HI_SHARED,
                                np.full(self.n_runs, SCALE_HI)])
 
+    def guess_theta(self, observed) -> np.ndarray:
+        """The reference's guess point: shared guesses + per-run scale =
+        observed totals (tests/simultFit.py:535-547)."""
+        scale_guesses = np.array([float(np.sum(o)) for o in observed])
+        return np.concatenate([GUESS_SHARED, scale_guesses])
+
     def initial_walkers_from_observed(self, key, n_walkers, observed):
         """guesses + agitators * randn (tests/simultFit.py:679-684); per-run
         scale guesses/agitators come from the observed totals, as in the
         reference (tests/simultFit.py:543-546)."""
-        scale_guesses = np.array([float(np.sum(o)) for o in observed])
-        guesses = np.concatenate([GUESS_SHARED, scale_guesses])
-        agitators = np.concatenate([AGITATORS_SHARED, 0.15 * scale_guesses])
+        guesses = self.guess_theta(observed)
+        agitators = np.concatenate([AGITATORS_SHARED,
+                                    0.15 * guesses[4: 4 + self.n_runs]])
         noise = jax.random.normal(key, (n_walkers, self.n_dim))
         return jnp.asarray(guesses) + jnp.asarray(agitators) * noise
 
@@ -187,15 +193,20 @@ class SimultFitProblem:
                             self.windows[run], get_pdf=get_pdf,
                             scale=theta[4 + run])
 
+    def run_spectra(self, theta, key):
+        """Per-run model spectra exactly as the likelihood sees them
+        (one fold_in key per run; the batched multi-run forward)."""
+        run_keys = [jax.random.fold_in(key, run)
+                    for run in range(self.n_runs)]
+        return tof_spectra_multi(run_keys, theta[:4], self.spec,
+                                 self.standoffs, self.windows,
+                                 theta[4: 4 + self.n_runs])
+
     def log_like(self, theta, key, observed) -> jax.Array:
         """Joint log-likelihood alone (``compoundLnlike``,
         ``tests/simultFit.py:412-420``) — the temperable part for the
         parallel-tempering driver (prior stays untempered there)."""
-        run_keys = [jax.random.fold_in(key, run)
-                    for run in range(self.n_runs)]
-        spectra = tof_spectra_multi(run_keys, theta[:4], self.spec,
-                                    self.standoffs, self.windows,
-                                    theta[4: 4 + self.n_runs])
+        spectra = self.run_spectra(theta, key)
         loglike = (poisson_binned_loglike if self.likelihood == "reference"
                    else poisson_logpmf_loglike)
         total = jnp.asarray(0.0)

@@ -40,16 +40,10 @@ def multinomial_loglike(model_pdf, observed):
     return jnp.where(jnp.isnan(total), -jnp.inf, total)
 
 
-def poisson_binned_loglike(model_counts, observed_counts, *,
-                           nan_guard: bool = True):
-    """Reference binned-Poisson form (``tests/simultFit.py:389-409``).
-
-    Per bin (after clamping obs==0 -> 1 and model==0 -> 1):
-        p = -obs - gammaln(floor(model) + 1) + model * log(obs)
-        contribution = obs * p
-    NaN model bins contribute -inf when ``nan_guard`` (oneBD behavior,
-    ``tests/csi_oneBD.py:553-555``).
-    """
+def poisson_binned_terms(model_counts, observed_counts, *,
+                         nan_guard: bool = True):
+    """Per-bin contributions of :func:`poisson_binned_loglike` (for the
+    verbose ``checkLikelihoodEval`` table, ``tests/simultFit.py:474-512``)."""
     model = jnp.asarray(model_counts)
     obs = jnp.asarray(observed_counts)
     obs_c = jnp.where(obs == 0, 1.0, obs)
@@ -63,13 +57,35 @@ def poisson_binned_loglike(model_counts, observed_counts, *,
     # NaN propagate so the final total->-inf guard fires (simultFit's
     # whole-eval NaN->-inf semantics; without this the sanitized model=1
     # above would silently launder NaN into a finite value)
-    contrib = jnp.where(jnp.isnan(model),
-                        -jnp.inf if nan_guard else jnp.nan, contrib)
-    total = jnp.sum(contrib)
+    return jnp.where(jnp.isnan(model),
+                     -jnp.inf if nan_guard else jnp.nan, contrib)
+
+
+def poisson_binned_loglike(model_counts, observed_counts, *,
+                           nan_guard: bool = True):
+    """Reference binned-Poisson form (``tests/simultFit.py:389-409``).
+
+    Per bin (after clamping obs==0 -> 1 and model==0 -> 1):
+        p = -obs - gammaln(floor(model) + 1) + model * log(obs)
+        contribution = obs * p
+    NaN model bins contribute -inf when ``nan_guard`` (oneBD behavior,
+    ``tests/csi_oneBD.py:553-555``).
+    """
+    total = jnp.sum(poisson_binned_terms(model_counts, observed_counts,
+                                         nan_guard=nan_guard))
     return jnp.where(jnp.isnan(total), -jnp.inf, total)
 
 
 POISSON_RATE_FLOOR = 1e-3
+
+
+def poisson_logpmf_terms(model_counts, observed_counts):
+    """Per-bin contributions of :func:`poisson_logpmf_loglike`."""
+    model = jnp.asarray(model_counts)
+    obs = jnp.asarray(observed_counts)
+    rate = jnp.maximum(model, POISSON_RATE_FLOOR)
+    logpmf = obs * jnp.log(rate) - rate - gammaln(obs + 1.0)
+    return jnp.where(jnp.isnan(model), -jnp.inf, logpmf)
 
 
 def poisson_logpmf_loglike(model_counts, observed_counts):
@@ -86,12 +102,7 @@ def poisson_logpmf_loglike(model_counts, observed_counts):
     strong-but-finite penalty (obs * log(1e-3) ~ -6.9 per observed
     count); NaN model bins still map to -inf.
     """
-    model = jnp.asarray(model_counts)
-    obs = jnp.asarray(observed_counts)
-    rate = jnp.maximum(model, POISSON_RATE_FLOOR)
-    logpmf = obs * jnp.log(rate) - rate - gammaln(obs + 1.0)
-    logpmf = jnp.where(jnp.isnan(model), -jnp.inf, logpmf)
-    total = jnp.sum(logpmf)
+    total = jnp.sum(poisson_logpmf_terms(model_counts, observed_counts))
     return jnp.where(jnp.isnan(total), -jnp.inf, total)
 
 

@@ -109,6 +109,41 @@ def test_quit_early(tmp_path, monkeypatch):
     assert out["status"] == "quitEarly"
 
 
+def test_check_likelihood_eval(tmp_path, monkeypatch, capsys):
+    """-checkLikelihoodEval prints the per-bin table at the guess point
+    and its total equals the problem's own log_like at the same
+    theta/key (reference helper tests/simultFit.py:474-512)."""
+    monkeypatch.chdir(tmp_path)
+    import os
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mcmctoffitting_tpu.cli.simult_fit import main
+    out = main(["-checkLikelihoodEval", "1", "-debug", "1", "-nRuns", "2",
+                "-batch", "1", "-likelihood", "poisson"])
+    assert out["status"] == "checkLikelihoodEval"
+    assert np.isfinite(out["total_loglike"])
+    text = capsys.readouterr().out
+    assert "run 0 bin 0:" in text and "total likelihood is" in text
+
+    # cross-check the printed total against log_like directly
+    from mcmctoffitting_tpu.models import simult
+    from mcmctoffitting_tpu.utils import data_io
+    key = jax.random.PRNGKey(0)
+    spec = simult.default_spec(n_samples=5000, xs_mode="e0grid")
+    problem = simult.SimultFitProblem(spec, n_runs=2,
+                                      likelihood="poisson")
+    truth = np.concatenate([simult.GUESS_SHARED, np.full(2, 5.0e4)])
+    observed = data_io.synthesize_observed(
+        jax.random.fold_in(key, 99), problem, truth)
+    theta = jnp.asarray(problem.guess_theta(observed), jnp.float32)
+    ll = float(problem.log_like(theta, jax.random.fold_in(key, 3),
+                                observed))
+    assert abs(out["total_loglike"] - ll) < 1e-3 * max(1.0, abs(ll))
+
+
 def test_shift_tof_semantics(tmp_path, monkeypatch):
     """-shiftTOF relabels count rows against the time axis before window
     selection (tests/csi_oneBD.py:698-706): counts slide by whole bins."""

@@ -117,3 +117,26 @@ def test_box_prior():
                              inclusive=True)) == 0.0
     assert float(box_lnprior(np.array([1.0, 1.0]), lo, hi,
                              inclusive=False)) == -np.inf
+
+
+def test_per_bin_terms_sum_to_totals():
+    """poisson_binned_terms / poisson_logpmf_terms (the checkLikelihoodEval
+    table) must sum to their loglike totals bin by bin."""
+    from mcmctoffitting_tpu.ops.likelihoods import (poisson_binned_terms,
+                                                    poisson_logpmf_terms)
+    rng = np.random.default_rng(7)
+    model = rng.uniform(0.0, 400.0, 40)
+    model[3] = 0.0                          # zero-model clamp path
+    obs = rng.poisson(np.maximum(model, 1.0)).astype(np.float64)
+    obs[5] = 0.0                            # zero-observed clamp path
+    for terms_fn, total_fn in [
+            (poisson_binned_terms, poisson_binned_loglike),
+            (poisson_logpmf_terms, poisson_logpmf_loglike)]:
+        terms = np.asarray(terms_fn(model, obs), np.float64)
+        np.testing.assert_allclose(terms.sum(), float(total_fn(model, obs)),
+                                   rtol=1e-6)
+    # NaN model bin: binned terms go per-bin -inf under the oneBD guard
+    model_nan = model.copy()
+    model_nan[2] = np.nan
+    t = np.asarray(poisson_binned_terms(model_nan, obs))
+    assert np.isneginf(t[2])
