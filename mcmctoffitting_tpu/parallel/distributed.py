@@ -21,7 +21,8 @@ Environment-variable conventions (all optional; flags/args take priority):
 
 On real Cloud TPU pods ``jax.distributed.initialize()`` discovers all three
 automatically; the env vars exist for bare-metal/CPU bring-up (and the
-2-process virtual test, ``tools/dryrun_multihost.py``).
+2-process virtual test, ``__graft_entry__.dryrun_multihost`` /
+``tests/test_distributed.py``).
 """
 from __future__ import annotations
 
