@@ -133,6 +133,8 @@ def test_mismatched_table_rejected():
     (1878.4, 850.0, 170.0, 0.55),
     (2490.0, 1300.0, 80.0, 0.6),
     (1878.4, 850.0, 40.0, 0.1),      # narrow density: few occupied cells
+    (1878.4, 850.0, 300.0, 2.0),     # huge s: heavy tail past the grid
+    (1878.4, 1900.0, 170.0, 0.5),    # e_loss > beam_e: all w < 0, clamped
 ])
 def test_expected_moments_vs_percell_oracle(theta, truncated):
     """The production (4, F+1) shared-edge ndtr evaluation must equal the
@@ -176,7 +178,13 @@ def test_expected_moments_vs_percell_oracle(theta, truncated):
     ])
     if truncated:
         norm = partial(0, 0.0, w_max)
-        mean_w = partial(1, 0.0, w_max) / norm
+        if norm == 0.0:
+            # conditioning on e0 > 0 with P(e0 > 0) = 0: the production
+            # guard returns all-zero moments (norm -> 1); mirror it
+            ref[:] = 0.0
+            norm, mean_w = 1.0, partial(1, 0.0, w_max)
+        else:
+            mean_w = partial(1, 0.0, w_max) / norm
     else:
         norm, mean_w = 1.0, np.exp(0.5 * s * s)
     ref *= n_samples / norm
