@@ -88,7 +88,9 @@ def main(argv=None) -> dict:
         xs_weighting=cfg.get("xs", False),
         convolve_beam=cfg.get("conv", False),
         bethe_transport=cfg.get("bethe", False),
-        stopping=d2_gas_stopping() if cfg.get("bethe") else None,
+        # the v2.5 driver's own gas density (tests/intermediateTOFmodel.py:92)
+        # — NOT the simultFit red-notebook 8.565e-5 default
+        stopping=d2_gas_stopping(rho=8.37e-5) if cfg.get("bethe") else None,
         add_half_zero_deg=args.model != "v0",
         n_samples=n_draws,
     )

@@ -96,10 +96,11 @@ def sample_tof(key, params, spec: SimpleSpec, standoff: float):
         for k in range(1, spec.poly_order + 1):
             mean_e = mean_e + params[k] * x ** k
         if spec.sigma_growth:
-            # v2: sigma = sigma0*e0 + sigma1*e0*x (fractional, growing)
+            # v2: sigma(x) = meanE(x) * (sigma0 + sigma1 * x) — fractional
+            # of the LOCAL mean energy (tests/intermediateTOFfit.py:113-116)
             sigma0, sigma1 = params[spec.poly_order + 1], params[
                 spec.poly_order + 2]
-            sigma = params[0] * (sigma0 + sigma1 * x)
+            sigma = mean_e * (sigma0 + sigma1 * x)
         else:
             sigma = params[spec.poly_order + 1]
         e_d = mean_e + sigma * jax.random.normal(ke, (n,))
