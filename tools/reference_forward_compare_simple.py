@@ -92,7 +92,10 @@ def extract_driver(path: str, predefine=None) -> dict:
             try:
                 exec(compile(ast.Module(body=[node], type_ignores=[]),
                              path, "exec"), ns)
-            except (NameError, AttributeError):
+            except Exception:
+                # any module statement that fails is driver-section residue
+                # (references skipped argv/sampler/data state) — not needed
+                # by the extracted kernels
                 pass
     finally:
         ref_util.np.linspace = orig_linspace
@@ -260,6 +263,36 @@ def main() -> None:
     rows.append(_compare("v2.5", ref,
                          ours(spec, TUNL_SSA_CSI.standoff_mid, theta),
                          theta))
+
+    # ---- template family: one monoenergetic slice, mid standoff ----
+    # (tests/devShapeTemplates.py:195-245; its generateModelData applies
+    # beamTiming spreading internally and uses the CORRECTED excitation
+    # units, :102)
+    tpl = extract_driver(os.path.join(REFERENCE,
+                                      "tests/devShapeTemplates.py"),
+                         predefine={"runNumber": 0})
+    from mcmctoffitting_tpu.models import templates as our_tpl
+    slice_idx = 16  # 800-825 keV
+    e_lo = float(tpl["templateEnergyBounds"][slice_idx])
+    e_hi = float(tpl["templateEnergyBounds"][slice_idx + 1])
+    # the driver's nEvPerLoop is 200k: any smaller nSamples runs ZERO
+    # MC loops (int(n/200000) == 0) and yields an empty template
+    n_tpl = 200_000
+    ref = []
+    for _ in range(6):
+        np.random.seed(rng.integers(2**31))
+        ref.append(tpl["generateModelData"](
+            [e_lo, e_hi], tpl["standoffs"][0], tpl["tof_nBins"]["mid"],
+            (tpl["tof_minRange"][0], tpl["tof_maxRange"][0]),
+            tpl["ddnXSinstance"], tpl["stoppingModel"].dEdx, n_tpl, True))
+    tspec = our_tpl.default_spec(n_samples=n_tpl)
+    from mcmctoffitting_tpu.constants import tof_windows
+    win = tof_windows["mid"]
+    f = jax.jit(lambda k: our_tpl.template_spectrum(
+        k, e_lo, e_hi, tspec, TUNL_SSA_CSI.standoff_mid, win))
+    ours_tpl = [np.asarray(f(jax.random.fold_in(key, i)))
+                for i in range(6)]
+    rows.append(_compare("tmpl", ref, ours_tpl, (e_lo, e_hi)))
 
     with open(os.path.join(OUT, "report.json"), "w") as f:
         json.dump({"rows": rows, "protocol":
