@@ -249,12 +249,23 @@ def _tunnel_ok(timeout_s: int) -> bool:
 LAST_RESULT = os.path.join(REPO, "bench_last.json")
 
 
+def _is_default_config() -> bool:
+    """True when every sweep knob is at its default — the only
+    configuration bench_last.json is ever written for (and therefore the
+    only one the wedged-tunnel fallback may replay)."""
+    return not (SAMPLING or WALKER_CHUNK or PRNG or MESH
+                or os.environ.get("BENCH_WALKERS")
+                or os.environ.get("BENCH_FINE")
+                or os.environ.get("BENCH_HIST_CHUNK")
+                or XS_MODE != "e0grid")
+
+
 def main() -> None:
     probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
     if not _tunnel_ok(probe_timeout):
         _log(f"bench: device backend unreachable within {probe_timeout}s "
              "(wedged tunnel?)")
-        if os.path.exists(LAST_RESULT):
+        if _is_default_config() and os.path.exists(LAST_RESULT):
             with open(LAST_RESULT) as f:
                 out = json.load(f)
             out["stale"] = True
@@ -291,11 +302,9 @@ def main() -> None:
                                           if baseline else None)
         out["faithful_mc_mfu_pct"] = round(100 * mc_mfu, 3)
     # cache for the wedged-tunnel fallback above (default knobs only, so a
-    # sweep run never masquerades as the headline)
-    if not (SAMPLING or WALKER_CHUNK or PRNG or MESH
-            or os.environ.get("BENCH_WALKERS") or os.environ.get("BENCH_FINE")
-            or os.environ.get("BENCH_HIST_CHUNK")
-            or XS_MODE != "e0grid"):
+    # sweep run never masquerades as the headline — mirrored by the
+    # fallback read, which replays the cache only at default knobs too)
+    if _is_default_config():
         try:
             with open(LAST_RESULT, "w") as f:
                 json.dump(out, f)

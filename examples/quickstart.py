@@ -20,8 +20,7 @@ import jax.numpy as jnp
 from mcmctoffitting_tpu.models import simult
 from mcmctoffitting_tpu.sampler import sample
 from mcmctoffitting_tpu.utils import chain_io, data_io
-from mcmctoffitting_tpu.utils.diagnostics import (acceptance_report,
-                                                  effective_sample_size)
+from mcmctoffitting_tpu.utils.diagnostics import effective_sample_size
 
 
 def main():
@@ -54,7 +53,7 @@ def main():
         print(f"  {name:>6} = {q[1, d]:10.4g} "
               f"+{q[2, d] - q[1, d]:.3g} -{q[1, d] - q[0, d]:.3g}"
               f"   (truth {truth[d]:g})")
-    print("acceptance:", acceptance_report(chain))
+    print(f"acceptance: {float(np.mean(chain.acceptance_fraction)):.3f}")
     print("ESS:", [int(v) for v in
                    effective_sample_size(np.asarray(chain.positions))])
 

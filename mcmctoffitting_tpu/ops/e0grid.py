@@ -230,6 +230,42 @@ def cached_e0_grid_table(stopping_table, ed_binning, xs,
                                n_fine=n_fine)
 
 
+def _lognorm_w_machinery(beam_e, e_loss, scale, s):
+    """Shared guards + partial-moment closures for the lognormal beam law.
+
+    Both estimators (:func:`expected_moments`, :func:`poissonized_moments`)
+    must evaluate E[W^j; lo < W < hi] from the SAME expression tree — the
+    counts estimator's unbiasedness argument compares its overflow-cell
+    lambdas against the in-grid closed form bit for bit.  Keeping one copy
+    here makes that identity structural instead of a maintenance promise.
+
+    Returns (valid, safe_scale, safe_s, w_of, partial) where
+    ``w_of(e0) = (beamE - e0 - eLoss)/scale`` and ``partial(j, lo, hi)``
+    is the j-th partial raw moment of W = exp(s Z) on (lo, hi); ``hi=None``
+    means +inf.
+    """
+    import jax.numpy as jnp
+    from jax.scipy.special import ndtr
+
+    valid = (scale > 0.0) & (s > 0.0)
+    safe_scale = jnp.where(scale > 0.0, scale, 1.0)
+    safe_s = jnp.where(s > 0.0, s, 1.0)
+
+    def w_of(e0):
+        return (beam_e - e0 - e_loss) / safe_scale
+
+    def partial(j, lo, hi):
+        """E[W^j; lo < W < hi] (0 where the interval is empty/negative)."""
+        lo_c = jnp.maximum(lo, 1e-30)
+        top = 1.0 if hi is None else ndtr(
+            jnp.log(jnp.maximum(hi, 1e-30)) / safe_s - j * safe_s)
+        amt = top - ndtr(jnp.log(lo_c) / safe_s - j * safe_s)
+        return (jnp.exp(0.5 * j * j * safe_s * safe_s)
+                * jnp.maximum(amt, 0.0))
+
+    return valid, safe_scale, safe_s, w_of, partial
+
+
 def expected_moments(table: E0GridTable, beam_e, e_loss, scale, s,
                      n_samples: float, truncated: bool):
     """CLOSED-FORM fine-cell moments under the lognormal beam density.
@@ -268,25 +304,15 @@ def expected_moments(table: E0GridTable, beam_e, e_loss, scale, s,
     edges = jnp.asarray(edges, jnp.float32)               # (F+1,) ascending
 
     # guard degenerate traced parameters like ops.pdfs.beam_energy_rvs
-    valid = (scale > 0.0) & (s > 0.0)
-    safe_scale = jnp.where(scale > 0.0, scale, 1.0)
-    safe_s = jnp.where(s > 0.0, s, 1.0)
+    valid, safe_scale, safe_s, w_of, partial = _lognorm_w_machinery(
+        beam_e, e_loss, scale, s)
 
     # e0 cell [a, b] -> W interval [w_lo, w_hi] (map is decreasing in W)
-    w_of = lambda e0: (beam_e - e0 - e_loss) / safe_scale
     w_edges = w_of(edges)                                 # (F+1,) decreasing
     if truncated:
         # condition on e0 > 0  <=>  W < w_max
         w_max = w_of(0.0)
         w_edges = jnp.minimum(w_edges, w_max)
-
-    def partial(j, lo, hi):
-        """E[W^j; lo < W < hi] (0 where the interval is empty/negative)."""
-        lo_c = jnp.maximum(lo, 1e-30)
-        hi_c = jnp.maximum(hi, 1e-30)
-        amt = (ndtr(jnp.log(hi_c) / safe_s - j * safe_s)
-               - ndtr(jnp.log(lo_c) / safe_s - j * safe_s))
-        return jnp.exp(0.5 * j * j * safe_s * safe_s) * jnp.maximum(amt, 0.0)
 
     # adjacent cells SHARE an edge: evaluate the ndtr chain once on the
     # (4, F+1) edge grid and difference, instead of per-cell lo/hi pairs
@@ -364,9 +390,7 @@ def poissonized_moments(key, table: E0GridTable, beam_e, e_loss, scale, s,
     reference's lattice mean averages over ALL draws
     (``tests/simultFit.py:288``).
     """
-    import jax
     import jax.numpy as jnp
-    from jax.scipy.special import ndtr
 
     from .poisson import poisson_ptrs
 
@@ -376,19 +400,8 @@ def poissonized_moments(key, table: E0GridTable, beam_e, e_loss, scale, s,
     m = sbar / jnp.maximum(sbar[0], 1e-12)[None, :]           # m[0] == 1
 
     # overflow cells (e0 below/above the fine grid) for the sample mean
-    valid = (scale > 0.0) & (s > 0.0)
-    safe_scale = jnp.where(scale > 0.0, scale, 1.0)
-    safe_s = jnp.where(s > 0.0, s, 1.0)
-    w_of = lambda e0: (beam_e - e0 - e_loss) / safe_scale
-
-    def partial(j, lo, hi):
-        """E[W^j; lo < W < hi]; hi=None means +inf."""
-        lo_c = jnp.maximum(lo, 1e-30)
-        top = 1.0 if hi is None else ndtr(
-            jnp.log(jnp.maximum(hi, 1e-30)) / safe_s - j * safe_s)
-        amt = top - ndtr(jnp.log(lo_c) / safe_s - j * safe_s)
-        return (jnp.exp(0.5 * j * j * safe_s * safe_s)
-                * jnp.maximum(amt, 0.0))
+    valid, safe_scale, safe_s, w_of, partial = _lognorm_w_machinery(
+        beam_e, e_loss, scale, s)
 
     if truncated:
         w_max = w_of(0.0)

@@ -212,6 +212,12 @@ def sample_pt_adaptive(key, p0, n_steps: int, loglike_fn, logprior_fn, *,
         raise ValueError("sample_pt_adaptive requires betas[0] == 1.0 "
                          "(cold-anchored ladder); use sample_pt for "
                          "arbitrary fixed ladders")
+    if not bool(jnp.all(jnp.diff(betas) < 0.0)):
+        # the gap parameterization below is log(diff(1/betas)); a
+        # non-decreasing ladder would silently produce NaN gaps and an
+        # all-NaN chain instead of an error
+        raise ValueError("sample_pt_adaptive requires strictly decreasing "
+                         "betas (hottest last)")
 
     loglike_batch = _make_batched(loglike_fn, stochastic)
     logprior_batch = _make_batched(logprior_fn, stochastic)

@@ -38,17 +38,6 @@ def _next_pow_two(n: int) -> int:
     return i
 
 
-def _autocorr_1d(x: np.ndarray) -> np.ndarray:
-    """Normalized autocorrelation function of a 1-D series (FFT method)."""
-    x = np.asarray(x, np.float64)
-    n = len(x)
-    f = np.fft.rfft(x - x.mean(), n=2 * _next_pow_two(n))
-    acf = np.fft.irfft(f * np.conjugate(f))[:n]
-    if acf[0] <= 0.0:  # constant series (stuck walker): define rho = 1
-        return np.ones(n)
-    return acf / acf[0]
-
-
 def integrated_autocorr_time(chain: np.ndarray, *, c: float = 5.0
                              ) -> np.ndarray:
     """Per-parameter integrated autocorrelation time tau (ensemble steps).
@@ -59,18 +48,23 @@ def integrated_autocorr_time(chain: np.ndarray, *, c: float = 5.0
     """
     chain = np.asarray(chain, np.float64)
     s, w, d = chain.shape
-    taus = np.empty(d)
-    for j in range(d):
-        # mean autocorrelation over walkers (emcee's estimator)
-        rho = np.zeros(s)
-        for k in range(w):
-            rho += _autocorr_1d(chain[:, k, j])
-        rho /= w
-        tau_hat = 2.0 * np.cumsum(rho) - 1.0
-        window = np.arange(s) >= c * tau_hat
-        m = int(np.argmax(window)) if window.any() else s - 1
-        taus[j] = max(tau_hat[m], 1.0)
-    return taus
+    # one batched FFT autocorrelation over all (walker, param) traces
+    x = chain - chain.mean(axis=0)
+    f = np.fft.rfft(x, n=2 * _next_pow_two(s), axis=0)
+    acf = np.fft.irfft(f * np.conjugate(f), axis=0)[:s]     # (S, W, D)
+    norm = acf[0]                                           # (W, D)
+    # constant series (stuck walker): define rho = 1 at every lag.  Detect
+    # by max==min (exact), not acf[0] <= 0 — mean-subtraction roundoff can
+    # leave acf[0] ~ 1e-25 on a constant trace, whose rho would be noise.
+    const = chain.max(axis=0) == chain.min(axis=0)          # (W, D)
+    safe = np.where(const, 1.0, norm)
+    rho = np.where(const, 1.0, acf / safe)
+    rho = rho.mean(axis=1)                                  # (S, D)
+    # mean autocorrelation over walkers (emcee's estimator) + Sokal window
+    tau_hat = 2.0 * np.cumsum(rho, axis=0) - 1.0            # (S, D)
+    window = np.arange(s)[:, None] >= c * tau_hat
+    m = np.where(window.any(axis=0), np.argmax(window, axis=0), s - 1)
+    return np.maximum(tau_hat[m, np.arange(d)], 1.0)
 
 
 def effective_sample_size(chain: np.ndarray, *, c: float = 5.0
