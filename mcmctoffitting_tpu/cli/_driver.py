@@ -8,9 +8,40 @@ file, checkpoints after each phase, and reports walker-steps/s.
 from __future__ import annotations
 
 import hashlib
+import os
 import time
 
 import numpy as np
+
+
+def enable_compile_cache() -> None:
+    """Persistent XLA compilation cache for the CLI drivers.
+
+    A flagship fit's wall clock is dominated by one-time compilation
+    (~25-30 s of the 36.7 s simult fit, RESULTS_r3.md) — on TPU via the
+    remote-compile tunnel it is minutes.  The cache makes every repeat
+    invocation at the same shapes skip that entirely.  Opt out (or
+    relocate) with MCMC_TPU_CACHE_DIR="" / =<dir>; defaults to the
+    repo-local .jax_cache when the package sits in a writable checkout
+    (sharing entries with bench.py and the tools/ probes), else
+    ~/.cache/mcmctoffitting_tpu/jax.
+    """
+    path = os.environ.get("MCMC_TPU_CACHE_DIR")
+    if path == "":
+        return
+    if path is None:
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        if os.access(repo, os.W_OK):
+            path = os.path.join(repo, ".jax_cache")
+        else:
+            path = os.path.expanduser("~/.cache/mcmctoffitting_tpu/jax")
+    try:
+        os.makedirs(path, exist_ok=True)
+        import jax
+        jax.config.update("jax_compilation_cache_dir", path)
+    except Exception:  # unwritable fs / jax too old: run uncached
+        pass
 
 
 def posterior_fingerprint(problem, observed) -> np.ndarray:

@@ -103,6 +103,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
+    from ._driver import enable_compile_cache
+    enable_compile_cache()
 
     import dataclasses
 

@@ -30,6 +30,8 @@ TRUTH = (0.4, -0.3, 5.0)   # sigma, m, b (tests/shiftingGaussian_brute.py)
 
 
 def main(argv=None) -> dict:
+    from ._driver import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-model", choices=["analytic", "tof"],
                    default="analytic")

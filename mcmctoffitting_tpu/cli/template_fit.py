@@ -17,6 +17,8 @@ import numpy as np
 
 
 def main(argv=None) -> dict:
+    from ._driver import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-filename", default=None, type=str,
                    help="observed multistandoff TSV (default: synthesize)")
