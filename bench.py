@@ -51,6 +51,9 @@ MESH = int(os.environ.get("BENCH_MESH", "0"))
 # hardware RNG instruction; counts/mc are PRNG+transcendental-bound, so
 # the generator is on the critical path)
 PRNG = os.environ.get("BENCH_PRNG", "")
+# within-cell moment closure A/B ('exact' default | 'cell' = 2-row ndtr
+# chain + analytic h^2/12 closure; ForwardSpec.moment_closure)
+CLOSURE = os.environ.get("BENCH_CLOSURE", "")
 
 
 def _log(msg: str) -> None:
@@ -81,6 +84,9 @@ def measure_tpu(sampling: str = "counts") -> tuple[float, float, int]:
 
     spec = simult.default_spec(n_samples=N_DRAWS, xs_mode=XS_MODE,
                                sampling=sampling)
+    if CLOSURE:
+        import dataclasses
+        spec = dataclasses.replace(spec, moment_closure=CLOSURE)
     hist_chunk = int(os.environ.get("BENCH_HIST_CHUNK", "0"))
     if hist_chunk:
         import dataclasses
@@ -253,7 +259,7 @@ def _is_default_config() -> bool:
     """True when every sweep knob is at its default — the only
     configuration bench_last.json is ever written for (and therefore the
     only one the wedged-tunnel fallback may replay)."""
-    return not (SAMPLING or WALKER_CHUNK or PRNG or MESH
+    return not (SAMPLING or WALKER_CHUNK or PRNG or MESH or CLOSURE
                 or os.environ.get("BENCH_WALKERS")
                 or os.environ.get("BENCH_FINE")
                 or os.environ.get("BENCH_HIST_CHUNK")

@@ -63,6 +63,8 @@ def posterior_fingerprint(problem, observed) -> np.ndarray:
     h.update(problem.spec.bg_mode.encode())
     # e0_mean_mode moves the whole TOF lattice, so it changes log-probs too
     h.update(problem.spec.e0_mean_mode.encode())
+    # the moment closure reshapes the closed-form/counts forward grid
+    h.update(problem.spec.moment_closure.encode())
     h.update(getattr(problem, "likelihood", "reference").encode())
     # forward binnings (a -hardcore checkpoint resumed without -hardcore
     # has identical windows/observed but a different forward grid)

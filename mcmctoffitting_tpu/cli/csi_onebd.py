@@ -84,6 +84,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reference: the faithful int()-cast form, whose "
                         "sawtooth IS the dominant pseudo-marginal noise; "
                         "poisson: correct Poisson logpmf — recommended")
+    p.add_argument("-momentClosure", choices=["exact", "cell"],
+                   default="exact",
+                   help="counts/expected forward only — exact: full 4-row "
+                        "ndtr partial-moment chain; cell: 2-row chain + "
+                        "analytic within-cell closure for the t^2/t^3 "
+                        "channels (error ~f32 rounding at F=2048, half "
+                        "the transcendental cost; ops/e0grid.py)")
     p.add_argument("-nThreads", default=0, type=int,
                    help="accepted for surface parity and ignored: walker "
                         "parallelism is a device-mesh array axis here, not "
@@ -140,6 +147,8 @@ def main(argv=None) -> dict:
         sampling=sampling)
     if args.deterministicBG:
         spec = dataclasses.replace(spec, bg_mode="expected")
+    if args.momentClosure != "exact":
+        spec = dataclasses.replace(spec, moment_closure=args.momentClosure)
     problem = onebd.OneBDProblem(spec, n_runs=3,
                                  likelihood=args.likelihood)
 

@@ -77,6 +77,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "sawtooth IS the dominant pseudo-marginal noise "
                         "(sigma~7e4 measured); poisson: correct Poisson "
                         "logpmf (sigma~2) — recommended for production")
+    p.add_argument("-momentClosure", choices=["exact", "cell"],
+                   default="exact",
+                   help="counts/expected forward only — exact: full 4-row "
+                        "ndtr partial-moment chain; cell: 2-row chain + "
+                        "analytic within-cell closure for the t^2/t^3 "
+                        "channels (error ~f32 rounding at F=1024, half "
+                        "the transcendental cost; ops/e0grid.py)")
     p.add_argument("-nThreads", default=0, type=int,
                    help="accepted for surface parity and ignored: walker "
                         "parallelism is a device-mesh array axis here, not "
@@ -123,6 +130,9 @@ def main(argv=None) -> dict:
         n_samples=n_draws,
         xs_mode="e0grid" if sampling != "mc" else args.gridMode,
         sampling=sampling)
+    if args.momentClosure != "exact":
+        import dataclasses
+        spec = dataclasses.replace(spec, moment_closure=args.momentClosure)
     problem = simult.SimultFitProblem(spec, n_runs=args.nRuns,
                                       likelihood=args.likelihood)
 

@@ -147,6 +147,17 @@ class ForwardSpec:
     #   'expected' — the closed-form distribution mean (lognorm source
     #     only): removes exactly that noise while the grid stays MC.
     e0_mean_mode: str = "sample"
+    # within-cell moment closure for the closed-form/counts estimators
+    # (ops/e0grid.expected_moments):
+    #   'exact' — full (4, F+1) ndtr chain (exact lognormal partial
+    #     moments in every channel);
+    #   'cell'  — 2-row chain (mass + conditional mean) with the t^2/t^3
+    #     channels closed by the exact-uniform within-cell variance
+    #     h^2/12; per-cell error O(h^4) ~ f32 rounding at F=1024,
+    #     measured |delta logp| ~1e-3 over posterior-typical thetas —
+    #     ~50x below the pinned fine-grid margin — for half the
+    #     dominant transcendental stage.
+    moment_closure: str = "exact"
     # dtype of the one-hot/moment-channel MXU contraction.  bf16 measured no
     # faster than f32 here (the contraction is not bandwidth-bound); if used,
     # the final weighted grid differs from f32 by <1e-5 relative (the
@@ -330,7 +341,7 @@ def grid_and_mean(spec: ForwardSpec, params, key):
         truncated = spec.n_redraw_rounds != 0
         moments, e0_mean = expected_moments(
             spec.e0_grid_table, params[0], params[1], params[2], params[3],
-            spec.n_samples, truncated)
+            spec.n_samples, truncated, spec.moment_closure)
         grid = _e0grid_contract(spec, moments)
         if spec.cell_attenuation:
             grid = _apply_attenuation(spec, grid)
@@ -346,7 +357,7 @@ def grid_and_mean(spec: ForwardSpec, params, key):
         truncated = spec.n_redraw_rounds != 0
         moments, e0_mean = poissonized_moments(
             key, spec.e0_grid_table, params[0], params[1], params[2],
-            params[3], spec.n_samples, truncated)
+            params[3], spec.n_samples, truncated, spec.moment_closure)
         grid = _e0grid_contract(spec, moments)
         if spec.cell_attenuation:
             grid = _apply_attenuation(spec, grid)

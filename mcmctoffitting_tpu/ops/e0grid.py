@@ -267,7 +267,8 @@ def _lognorm_w_machinery(beam_e, e_loss, scale, s):
 
 
 def expected_moments(table: E0GridTable, beam_e, e_loss, scale, s,
-                     n_samples: float, truncated: bool):
+                     n_samples: float, truncated: bool,
+                     closure: str = "exact"):
     """CLOSED-FORM fine-cell moments under the lognormal beam density.
 
     The MC forward model exists in the reference purely as a numerical
@@ -293,6 +294,20 @@ def expected_moments(table: E0GridTable, beam_e, e_loss, scale, s,
     (``tests/csi_oneBD.py:440-447``) — negative-e0 mass simply falls
     outside every fine cell, as it falls outside the histogram range there.
 
+    ``closure`` (ForwardSpec.moment_closure): how the t^2/t^3 channels are
+    obtained.  'exact' evaluates the full (4, F+1) ndtr chain.  'cell'
+    evaluates only j in {0, 1} (mass + conditional mean — the channels
+    that carry the spectrum) and closes the within-cell second/third
+    moments analytically: s2 = s0 (m1^2 + v), s3 = s0 m1 (m1^2 + 3 v)
+    with v = h^2/12 the exact variance of a uniform density on a width-h
+    cell.  The neglected corrections are the within-cell density tilt's
+    effect on v (O(h^4)) and the within-cell third central moment
+    (O(h^4)); at F = 1024, h ~ 1e-3 in t units, both sit below f32
+    rounding of the contraction — measured |delta logp| ~ 1e-3 across
+    posterior-typical thetas (tests/test_e0grid.py), ~50x below the
+    pinned F-margin (RESULTS_r3.md "Hardcore fine-grid frontier").  Cost:
+    halves the ndtr chain, the dominant counts-mode stage.
+
     Returns (S, e0_mean): S is (4, F) expected moments scaled to
     ``n_samples`` draws; e0_mean is the matching expected draw mean.
     """
@@ -315,25 +330,53 @@ def expected_moments(table: E0GridTable, beam_e, e_loss, scale, s,
         w_edges = jnp.minimum(w_edges, w_max)
 
     # adjacent cells SHARE an edge: evaluate the ndtr chain once on the
-    # (4, F+1) edge grid and difference, instead of per-cell lo/hi pairs
-    # (which XLA does not CSE across the overlapping slices) — halves the
-    # dominant transcendental stage (RESULTS_r3.md stage split).  Same
-    # expression tree per edge as partial(), so values are unchanged.
-    js = jnp.arange(4, dtype=jnp.float32)
+    # (n_rows, F+1) edge grid and difference, instead of per-cell lo/hi
+    # pairs (which XLA does not CSE across the overlapping slices) —
+    # halves the dominant transcendental stage (RESULTS_r3.md stage
+    # split).  Same expression tree per edge as partial(), so values are
+    # unchanged.
+    if closure not in ("exact", "cell"):
+        raise ValueError(f"unknown moment closure {closure!r} "
+                         "(expected 'exact' or 'cell')")
+    n_rows = 4 if closure == "exact" else 2
+    js = jnp.arange(n_rows, dtype=jnp.float32)
     logw = jnp.log(jnp.maximum(w_edges, 1e-30)) / safe_s  # (F+1,)
-    nd = ndtr(logw[None, :] - js[:, None] * safe_s)       # (4, F+1)
-    amt = jnp.maximum(nd[:, :-1] - nd[:, 1:], 0.0)        # hi - lo, (4, F)
+    nd = ndtr(logw[None, :] - js[:, None] * safe_s)       # (n_rows, F+1)
+    amt = jnp.maximum(nd[:, :-1] - nd[:, 1:], 0.0)        # hi - lo, (·, F)
     pm = jnp.exp(0.5 * js * js * safe_s * safe_s)[:, None] * amt
-    p = [pm[0], pm[1], pm[2], pm[3]]                      # each (F,)
 
     # t = A - B W with A = (beamE - t_ref - eLoss)/t_scale, B = scale/t_scale
     a_c = (beam_e - table.t_ref - e_loss) / table.t_scale
     b_c = safe_scale / table.t_scale
-    s0 = p[0]
-    s1 = a_c * p[0] - b_c * p[1]
-    s2 = a_c * a_c * p[0] - 2.0 * a_c * b_c * p[1] + b_c * b_c * p[2]
-    s3 = (a_c ** 3 * p[0] - 3.0 * a_c * a_c * b_c * p[1]
-          + 3.0 * a_c * b_c * b_c * p[2] - b_c ** 3 * p[3])
+    s0 = pm[0]
+    s1 = a_c * pm[0] - b_c * pm[1]
+    if closure == "exact":
+        s2 = a_c * a_c * pm[0] - 2.0 * a_c * b_c * pm[1] + b_c * b_c * pm[2]
+        s3 = (a_c ** 3 * pm[0] - 3.0 * a_c * a_c * b_c * pm[1]
+              + 3.0 * a_c * b_c * b_c * pm[2] - b_c ** 3 * pm[3])
+    else:
+        # within-cell closure: the conditional mean m1 = s1/s0 is exact;
+        # close t^2/t^3 with the LINEAR density model the mean itself
+        # pins.  For f(x) = 1/h + b x on a width-h cell (x centered),
+        # the mean offset dm = E[x] = b h^3/12 determines b, giving
+        #   Var  = h^2/12 - dm^2,
+        #   mu3  = E[x^3] - 3 dm E[x^2] + 2 dm^3 = -0.1 dm h^2 + 2 dm^3.
+        # Residual error is the within-cell CURVATURE, O(h^5 rho''/rho)
+        # per cell.  m1 is clamped to its own cell (where s0 underflows,
+        # s1/s0 is unreliable; the clamp pins it to a physical value and
+        # the s0 factor zeroes the contribution anyway), which bounds
+        # |dm| <= h/2; v is floored at 0 for the truncation-edge cell
+        # where the linear model can overshoot.
+        t_edges = (edges - table.t_ref) / table.t_scale   # (F+1,) ascending
+        h = (table.e0_hi - table.e0_lo) / (f * table.t_scale)
+        t_c = 0.5 * (t_edges[:-1] + t_edges[1:])
+        m1 = jnp.clip(s1 / jnp.maximum(s0, 1e-12),
+                      t_edges[:-1], t_edges[1:])
+        dm = m1 - t_c
+        v = jnp.maximum(h * h / 12.0 - dm * dm, 0.0)
+        mu3 = (2.0 * dm * dm - 0.1 * h * h) * dm
+        s2 = s0 * (m1 * m1 + v)
+        s3 = s0 * (m1 * (m1 * m1 + 3.0 * v) + mu3)
     moments = jnp.stack([s0, s1, s2, s3])                 # (4, F)
 
     if truncated:
@@ -351,7 +394,8 @@ def expected_moments(table: E0GridTable, beam_e, e_loss, scale, s,
 
 
 def poissonized_moments(key, table: E0GridTable, beam_e, e_loss, scale, s,
-                        n_samples: float, truncated: bool):
+                        n_samples: float, truncated: bool,
+                        closure: str = "exact"):
     """Poissonized Rao-Blackwell MC moments (``sampling='counts'``).
 
     The faithful MC estimator's per-fine-cell moment sums decompose as
@@ -395,7 +439,7 @@ def poissonized_moments(key, table: E0GridTable, beam_e, e_loss, scale, s,
     from .poisson import poisson_ptrs
 
     sbar, _ = expected_moments(table, beam_e, e_loss, scale, s,
-                               n_samples, truncated)          # (4, F)
+                               n_samples, truncated, closure)  # (4, F)
     lam = jnp.where(jnp.isfinite(sbar[0]), jnp.maximum(sbar[0], 0.0), 0.0)
     m = sbar / jnp.maximum(sbar[0], 1e-12)[None, :]           # m[0] == 1
 

@@ -238,3 +238,110 @@ def test_forward_spectrum_equivalence(preset):
     # spectra agree to a fraction of a percent of the peak
     assert np.abs(sa - sb).max() < 5e-3 * sa.max()
     assert np.abs(sa - sb).sum() < 2e-3 * sa.sum()
+
+
+@pytest.mark.parametrize("truncated", [True, False])
+def test_cell_closure_matches_oracle_like_exact(truncated):
+    """moment_closure='cell' (2-row ndtr chain + linear within-cell
+    closure): rows 0/1 and e0_mean are the SAME expression tree (bitwise);
+    the closed t^2/t^3 channels sit as close to the independent f64
+    per-cell oracle as the exact 4-row f32 chain does — i.e. the closure's
+    analytic error (O(h^5) within-cell curvature at the F=1024 production
+    grid) is below both paths' shared f32 rounding."""
+    from scipy.special import ndtr as ndtr64
+
+    from mcmctoffitting_tpu.ops.e0grid import expected_moments
+
+    spec = simult.default_spec(n_samples=1000, sampling="counts")  # F=1024
+    tab = spec.e0_grid_table
+    f = tab.n_fine
+    n_samples = 2.0e5
+    for theta in [(1878.4, 850.0, 170.0, 0.55),
+                  (2490.0, 1300.0, 80.0, 0.6),
+                  (1878.4, 850.0, 40.0, 0.1)]:
+        beam_e, e_loss, scale, s = theta
+        exact, mean_e = expected_moments(tab, *theta, n_samples, truncated,
+                                         "exact")
+        cell, mean_c = expected_moments(tab, *theta, n_samples, truncated,
+                                        "cell")
+        exact = np.asarray(exact, np.float64)
+        cell = np.asarray(cell, np.float64)
+        # mass + conditional-mean channels: identical expression tree
+        np.testing.assert_array_equal(exact[:2], cell[:2])
+        assert float(mean_e) == float(mean_c)
+
+        # f64 per-cell oracle for the t^2/t^3 rows
+        edges = tab.e0_lo + (tab.e0_hi - tab.e0_lo) / f * np.arange(f + 1)
+        w_hi = (beam_e - edges[:-1] - e_loss) / scale
+        w_lo = (beam_e - edges[1:] - e_loss) / scale
+        w_max = (beam_e - e_loss) / scale
+        if truncated:
+            w_lo, w_hi = np.minimum(w_lo, w_max), np.minimum(w_hi, w_max)
+
+        def partial(j, lo, hi):
+            lo_c = np.maximum(lo, 1e-300)
+            hi_c = np.maximum(hi, 1e-300)
+            amt = (ndtr64(np.log(hi_c) / s - j * s)
+                   - ndtr64(np.log(lo_c) / s - j * s))
+            return np.exp(0.5 * j * j * s * s) * np.maximum(amt, 0.0)
+
+        p = [partial(j, w_lo, w_hi) for j in range(4)]
+        a_c = (beam_e - tab.t_ref - e_loss) / tab.t_scale
+        b_c = scale / tab.t_scale
+        s2 = a_c ** 2 * p[0] - 2 * a_c * b_c * p[1] + b_c ** 2 * p[2]
+        s3 = (a_c ** 3 * p[0] - 3 * a_c ** 2 * b_c * p[1]
+              + 3 * a_c * b_c ** 2 * p[2] - b_c ** 3 * p[3])
+        norm = partial(0, 0.0, w_max) if truncated else 1.0
+        if norm == 0.0:
+            continue  # fully truncated: production zeroes everything
+        for k, ref in ((2, s2 * n_samples / norm), (3, s3 * n_samples / norm)):
+            err_exact = np.abs(exact[k] - ref).max()
+            err_cell = np.abs(cell[k] - ref).max()
+            # as accurate as the exact f32 path (2x headroom for rounding
+            # luck), never worse than f32 resolution of the row scale
+            assert err_cell <= 2.0 * err_exact + 1e-6 * np.abs(ref).max(), (
+                theta, k, err_cell, err_exact)
+
+
+def test_cell_closure_logp_shift_below_f_margin():
+    """Posterior-level guard for moment_closure='cell'.
+
+    With the reference-faithful rint() ON, the closure is logp-IDENTICAL
+    at almost every theta; at rare bin-edge-poised thetas the +-1e-4
+    channel difference flips a rint outcome — the same discrete
+    sensitivity class the exact path's own compile-order noise exhibits
+    (measured here: eager-vs-jit of the exact program steps ~0.5 at such
+    thetas).  With rint OFF the response surface is smooth and the
+    closure's reweighting is bounded below the pinned fine-grid margin
+    (|delta logp| std 0.052 between F=512 and F=4096, RESULTS_r3.md)."""
+    import dataclasses
+
+    from mcmctoffitting_tpu.utils import data_io
+
+    spec = simult.default_spec(n_samples=50_000, sampling="counts")
+    spec_e = dataclasses.replace(spec, sampling="expected",
+                                 rint_draws=False)
+    spec_c = dataclasses.replace(spec_e, moment_closure="cell")
+    pe = simult.SimultFitProblem(spec_e, n_runs=2, likelihood="poisson")
+    pc = simult.SimultFitProblem(spec_c, n_runs=2, likelihood="poisson")
+    truth = np.concatenate([simult.GUESS_SHARED, np.full(2, 5.0e4)])
+    observed = data_io.synthesize_observed(jax.random.PRNGKey(3), pe, truth)
+    logp_exact = jax.jit(pe.make_log_prob_fn(observed))
+    logp_cell = jax.jit(pc.make_log_prob_fn(observed))
+
+    rng = np.random.default_rng(7)
+    # posterior-typical scatter around truth (widths ~ the measured ridge)
+    sig = np.array([30.0, 30.0, 15.0, 0.05, 2e3, 2e3])
+    key = jax.random.PRNGKey(0)
+    deltas = []
+    for i in range(24):
+        th = truth + rng.normal(size=truth.size) * sig
+        a = float(logp_exact(jax.numpy.asarray(th, jax.numpy.float32), key))
+        b = float(logp_cell(jax.numpy.asarray(th, jax.numpy.float32), key))
+        if np.isfinite(a) and np.isfinite(b):
+            deltas.append(b - a)
+    deltas = np.asarray(deltas)
+    assert deltas.size >= 16
+    # measured 2026-08-18: max 0.094, std 0.039 — below the 0.052 margin
+    assert np.abs(deltas).max() < 0.2
+    assert deltas.std() < 0.052
