@@ -86,6 +86,10 @@ def steady(name, compiled, params=theta, iters=3):
 t_exp = steady("expected-moments", chained(
     lambda k, p: jnp.sum(expected_moments(
         tab, p[0], p[1], p[2], p[3], float(spec.n_samples), truncated)[0])))
+t_exp2 = steady("  closure='cell'", chained(
+    lambda k, p: jnp.sum(expected_moments(
+        tab, p[0], p[1], p[2], p[3], float(spec.n_samples), truncated,
+        "cell")[0])))
 t_cnt = steady("counts-moments  ", chained(
     lambda k, p: jnp.sum(poissonized_moments(
         k, tab, p[0], p[1], p[2], p[3], float(spec.n_samples),
@@ -104,7 +108,9 @@ theta_full = jnp.asarray(truth, jnp.float32)
 t_logp = steady("joint logp      ", chained(
     lambda k, p: logp(p, k), theta_full), params=theta_full)
 
-print(f"\nper-iter deltas: poisson+overflow {t_cnt - t_exp:.2f} ms | "
+print(f"\nmoment-closure 'cell' vs 'exact': {t_exp2:.2f} vs {t_exp:.2f} ms "
+      f"({t_exp / max(t_exp2, 1e-9):.2f}x on the chain stage)", flush=True)
+print(f"per-iter deltas: poisson+overflow {t_cnt - t_exp:.2f} ms | "
       f"A-contraction {t_grid - t_cnt:.2f} ms | "
       f"tof stage {t_spec - t_grid:.2f} ms | "
       f"joint({problem.n_runs} runs+prior) vs 1-run spectrum "

@@ -21,6 +21,8 @@ run() { # name timeout_s cmd...
 
 # 1. headline bench (counts + faithful mc; refreshes bench_last.json)
 run bench 2400 python bench.py
+# 1b. moment-closure A/B (2-row ndtr chain; see ops/e0grid.expected_moments)
+run bench_closure_cell 1800 env BENCH_SAMPLING=counts BENCH_CLOSURE=cell python bench.py
 # 2. counts-mode stage split, simult + oneBD
 run stages_simult 1800 python tools/tpu_counts_stages.py
 run stages_onebd 1800 python tools/tpu_counts_stages.py --onebd
