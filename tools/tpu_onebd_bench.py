@@ -51,9 +51,15 @@ def main():
     sampling = _arg("--sampling", "mc", str)
     if sampling != "mc":
         label += f"+{sampling}"
+    closure = _arg("--closure", "exact", str)
+    if closure != "exact":
+        label += f"+{closure}"
 
     spec = onebd.default_spec(n_samples=n_draws, hardcore=hardcore,
                               xs_mode=xs_mode, sampling=sampling)
+    if closure != "exact":
+        import dataclasses
+        spec = dataclasses.replace(spec, moment_closure=closure)
     if "--fine" in sys.argv or "--hchunk" in sys.argv:
         import dataclasses
         from mcmctoffitting_tpu.ops.e0grid import cached_e0_grid_table

@@ -26,9 +26,10 @@ run bench_closure_cell 1800 env BENCH_SAMPLING=counts BENCH_CLOSURE=cell python 
 # 2. counts-mode stage split, simult + oneBD
 run stages_simult 1800 python tools/tpu_counts_stages.py
 run stages_onebd 1800 python tools/tpu_counts_stages.py --onebd
-# 3. oneBD bench: default + hardcore
+# 3. oneBD bench: default + hardcore (+closure A/B on the default)
 run onebd 1800 python tools/tpu_onebd_bench.py --sampling counts
 run onebd_hardcore 1800 python tools/tpu_onebd_bench.py --sampling counts --hardcore
+run onebd_closure 1800 python tools/tpu_onebd_bench.py --sampling counts --closure cell
 # 4. ensemble-size scaling sweep
 for w in 512 1024 2048; do
   run "walkers_$w" 1800 env BENCH_WALKERS=$w python bench.py
