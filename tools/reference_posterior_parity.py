@@ -37,12 +37,17 @@ LIKELIHOOD = os.environ.get("PARITY_LIKELIHOOD", "reference")
 # always its own per-sample pipeline; a counts run reuses the mc study's
 # observed data + reference chain (copied into its own out dir).
 SAMPLING = os.environ.get("PARITY_SAMPLING", "mc")
+# PARITY_CLOSURE=exact|cell: OUR side's moment closure (counts/expected
+# forward only; ops/e0grid.expected_moments)
+CLOSURE = os.environ.get("PARITY_CLOSURE", "exact")
 OUT = os.path.join(REPO, "out",
                    "parity" if LIKELIHOOD == "reference"
                    else f"parity_{LIKELIHOOD}")
 BASE_OUT = OUT
 if SAMPLING != "mc":
     OUT += f"_{SAMPLING}"
+if CLOSURE != "exact":
+    OUT += f"_{CLOSURE}"
 if os.environ.get("PARITY_RUNS") or os.environ.get("PARITY_DRAWS"):
     suffix = (f"_r{os.environ.get('PARITY_RUNS', '4')}"
               f"_d{os.environ.get('PARITY_DRAWS', '10000')}")
@@ -315,6 +320,9 @@ def run_ours():
     from mcmctoffitting_tpu.sampler import (init_state, make_logp_batch,
                                             run_mcmc)
     spec = simult.default_spec(n_samples=N_DRAWS, sampling=SAMPLING)
+    if CLOSURE != "exact":
+        import dataclasses
+        spec = dataclasses.replace(spec, moment_closure=CLOSURE)
     problem = simult.SimultFitProblem(spec, n_runs=N_RUNS,
                                       likelihood=LIKELIHOOD)
     logp = problem.make_log_prob_fn(observed)

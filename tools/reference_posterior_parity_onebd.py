@@ -44,6 +44,7 @@ from reference_posterior_parity import numpy_stretch_sampler  # noqa: E402
 
 LIKELIHOOD = os.environ.get("PARITY_LIKELIHOOD", "poisson")
 SAMPLING = os.environ.get("PARITY_SAMPLING", "mc")
+CLOSURE = os.environ.get("PARITY_CLOSURE", "exact")
 # background model for BOTH sides: the per-eval Poisson bg draw
 # (tests/csi_oneBD.py:521) is itself a major pseudo-marginal noise source
 # (it froze both samplers at acc ~ 0.1 in the first study); the sharp
@@ -62,6 +63,8 @@ if LIKELIHOOD != "poisson":
     OUT += f"_{LIKELIHOOD}"
 if SAMPLING != "mc":
     OUT += f"_{SAMPLING}"
+if CLOSURE != "exact":
+    OUT += f"_{CLOSURE}"
 if os.environ.get("PARITY_RUNS") or os.environ.get("PARITY_DRAWS"):
     OUT += f"_r{N_RUNS}_d{N_DRAWS}"
 
@@ -275,6 +278,8 @@ def run_ours():
     spec = onebd.default_spec(n_samples=N_DRAWS, sampling=SAMPLING)
     if BG_MODE == "expected":
         spec = dataclasses.replace(spec, bg_mode="expected")
+    if CLOSURE != "exact":
+        spec = dataclasses.replace(spec, moment_closure=CLOSURE)
     problem = onebd.OneBDProblem(spec, n_runs=N_RUNS,
                                  likelihood=LIKELIHOOD)
     logp = problem.make_log_prob_fn(observed)
