@@ -33,3 +33,17 @@ def test_example_imports_resolve(path):
             for alias in node.names:
                 if alias.name.startswith("mcmctoffitting_tpu"):
                     importlib.import_module(alias.name)
+
+
+def test_console_script_targets_resolve():
+    """Every pyproject [project.scripts] target imports and is callable."""
+    import tomllib
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    with open(repo / "pyproject.toml", "rb") as f:
+        scripts = tomllib.load(f)["project"]["scripts"]
+    assert scripts, "no console scripts declared"
+    for name, target in scripts.items():
+        mod_name, func_name = target.split(":")
+        mod = importlib.import_module(mod_name)
+        assert callable(getattr(mod, func_name)), (name, target)
