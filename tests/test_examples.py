@@ -37,7 +37,7 @@ def test_example_imports_resolve(path):
 
 def test_console_script_targets_resolve():
     """Every pyproject [project.scripts] target imports and is callable."""
-    import tomllib
+    tomllib = pytest.importorskip("tomllib")  # stdlib from 3.11
 
     repo = pathlib.Path(__file__).resolve().parent.parent
     with open(repo / "pyproject.toml", "rb") as f:
