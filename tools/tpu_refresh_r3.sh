@@ -23,6 +23,9 @@ run() { # name timeout_s cmd...
 run bench 2400 python bench.py
 # 1b. moment-closure A/B (2-row ndtr chain; see ops/e0grid.expected_moments)
 run bench_closure_cell 1800 env BENCH_SAMPLING=counts BENCH_CLOSURE=cell python bench.py
+# 1c. deterministic expected-forward refresh (+closure A/B)
+run bench_expected 1800 env BENCH_SAMPLING=expected python bench.py
+run bench_expected_cell 1800 env BENCH_SAMPLING=expected BENCH_CLOSURE=cell python bench.py
 # 2. counts-mode stage split, simult + oneBD
 run stages_simult 1800 python tools/tpu_counts_stages.py
 run stages_onebd 1800 python tools/tpu_counts_stages.py --onebd
