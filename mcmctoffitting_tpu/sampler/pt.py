@@ -62,6 +62,59 @@ class PTChain:
         """(S, W, D) samples of the beta=1 target posterior."""
         return self.positions[:, 0]
 
+    def thermodynamic_integration_log_evidence(self, betas, *,
+                                               fburnin: float = 0.1):
+        """(ln Z, error) for the ladder this chain was sampled at.
+
+        ``betas`` is the fixed ladder passed to ``sample_pt`` (for
+        ``sample_pt_adaptive`` chains pass the returned final ladder; the
+        late — post-adaptation — samples dominate after burn-in).
+        """
+        return thermodynamic_integration_log_evidence(
+            self.log_like, betas, fburnin=fburnin)
+
+
+def thermodynamic_integration_log_evidence(log_like, betas, *,
+                                           fburnin: float = 0.1):
+    """Log-evidence ln Z = ln p(data) by thermodynamic integration.
+
+    ln Z(beta=1) - ln Z(beta=0) = integral_0^1 <ln L>_beta dbeta, with the
+    per-rung posterior expectations <ln L>_beta estimated from the tempered
+    chains.  This is the capability ``emcee.PTSampler.
+    thermodynamic_integration_log_evidence`` provides on the sampler the
+    reference configures (``tests/shiftingGaussian_brute.py:352-360``):
+    trapezoid rule over the (descending) beta ladder, constant
+    extrapolation from the hottest rung to beta=0 when the ladder does not
+    reach it, and an error estimate from re-integrating on every other
+    rung (discretization dominates, so halving the ladder resolution
+    brackets the quadrature error).
+
+    Parameters
+    ----------
+    log_like : (S, T, W) tempered log-likelihood chain (``PTChain.log_like``)
+    betas : (T,) inverse temperatures, descending, betas[0] == 1
+    fburnin : fraction of the S axis discarded as burn-in
+
+    Returns ``(ln_z, d_ln_z)``.
+    """
+    ll = np.asarray(log_like, dtype=np.float64)
+    betas = np.asarray(betas, dtype=np.float64)
+    if ll.ndim != 3 or ll.shape[1] != betas.shape[0]:
+        raise ValueError(f"log_like (S, T, W) with T == len(betas); got "
+                         f"{ll.shape} vs {betas.shape}")
+    if np.any(np.diff(betas) >= 0.0) or abs(betas[0] - 1.0) > 1e-6:
+        raise ValueError("betas must be strictly decreasing from 1.0")
+    start = int(fburnin * ll.shape[0])
+    mean_logls = ll[start:].mean(axis=(0, 2))              # (T,)
+
+    if betas[-1] != 0.0:
+        betas = np.concatenate([betas, [0.0]])
+        mean_logls = np.concatenate([mean_logls, mean_logls[-1:]])
+
+    ln_z = -np.trapezoid(mean_logls, betas)
+    ln_z2 = -np.trapezoid(mean_logls[::2], betas[::2])
+    return float(ln_z), float(abs(ln_z - ln_z2))
+
 
 def _make_batched(fn: Callable, stochastic: bool) -> Callable:
     if stochastic:
