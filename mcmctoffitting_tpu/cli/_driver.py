@@ -155,9 +155,19 @@ def load_resume_state(path, problem, observed, logp_batch):
 
 
 def run_phases(state, phases, logp_batch, *, n_walkers: int = 0,
-               segment: int, prefix: str, fingerprint=None):
+               segment: int, prefix: str, fingerprint=None,
+               adaptive_phase: str | None = None, tau_factor: float = 50.0,
+               tau_rtol: float = 0.02):
     """Drive the sampler through (name, chain_path, n_steps, truncate)
     phases, streaming chain text per segment and checkpointing per phase.
+
+    ``adaptive_phase`` names a phase whose ``n_steps`` is a CAP rather than
+    a target: sampling stops early once the chain is long enough to trust
+    — every parameter's integrated autocorrelation time tau satisfies
+    S >= tau_factor * tau AND the tau estimate moved < tau_rtol between
+    consecutive checks (emcee's documented convergence recipe).  The
+    reference hard-codes chain lengths per driver, which under-samples
+    degenerate ridges by ~10x (RESULTS_r3.md); this closes that loop.
 
     Returns (final_state, total_steps, elapsed_s).
     """
@@ -190,6 +200,9 @@ def run_phases(state, phases, logp_batch, *, n_walkers: int = 0,
     for phase, path, n_steps, truncate in phases:
         if truncate:
             open(path, "w").close()
+        adaptive = phase == adaptive_phase
+        pos_acc: list[np.ndarray] = []
+        tau_prev = None
         done = 0
         phase_accepted = 0.0
         while done < n_steps:
@@ -204,6 +217,26 @@ def run_phases(state, phases, logp_batch, *, n_walkers: int = 0,
             acc = phase_accepted / (done * n_walkers)
             print(f"{phase}: step {done}/{n_steps} "
                   f"({rate:.1f} walker-steps/s, acc {acc:.2f})", flush=True)
+            if adaptive:
+                from ..utils.diagnostics import integrated_autocorr_time
+
+                pos_acc.append(np.asarray(positions))
+                if done < 8 * seg:   # far too short for any tau window
+                    continue
+                tau = integrated_autocorr_time(np.concatenate(pos_acc))
+                tau_max = float(tau.max())
+                stable = tau_prev is not None and bool(
+                    np.all(np.abs(tau - tau_prev) <= tau_rtol * tau))
+                print(f"{phase}: tau_max {tau_max:.1f} "
+                      f"(S/tau {done / tau_max:.1f}, need "
+                      f">= {tau_factor:.0f}"
+                      f"{', tau stable' if stable else ''})", flush=True)
+                if done >= tau_factor * tau_max and stable:
+                    print(f"{phase}: converged at step {done} "
+                          f"(S >= {tau_factor:.0f} tau and tau drift "
+                          f"< {100 * tau_rtol:.0f}%)", flush=True)
+                    break
+                tau_prev = tau
         chain_io.save_checkpoint(
             prefix + f"{phase.replace('-', '')}.ckpt.npz", state,
             extra=extra)

@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-mesh", default=0, type=int)
     p.add_argument("-chunkWalkers", default=0, type=int)
     p.add_argument("-segment", default=10, type=int)
+    p.add_argument("-convergeMain", type=int, choices=[0, 1], nargs="?",
+                   const=1, default=0,
+                   help="treat -nMainSteps as a CAP and stop the main "
+                        "phase early once S >= tauFactor * tau for every "
+                        "parameter with a stable tau estimate")
+    p.add_argument("-tauFactor", default=50.0, type=float)
     p.add_argument("-resume", default="", type=str,
                    help="resume the MAIN phase from a .ckpt.npz checkpoint "
                         "(skips burn-in; exact continuation incl. PRNG)")
@@ -215,7 +221,9 @@ def main(argv=None) -> dict:
 
     state, total_steps, elapsed = run_phases(
         state, phases, logp_batch, n_walkers=n_walkers,
-        segment=args.segment, prefix=prefix, fingerprint=fingerprint)
+        segment=args.segment, prefix=prefix, fingerprint=fingerprint,
+        adaptive_phase="main" if args.convergeMain else None,
+        tau_factor=args.tauFactor)
 
     main_chain, _, n_params, _, _ = chain_io.read_chain_text(
         prefix + "mainchain.dat")

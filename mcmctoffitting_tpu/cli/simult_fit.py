@@ -52,6 +52,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="eval walkers in chunks of this size (memory cap)")
     p.add_argument("-segment", default=10, type=int,
                    help="steps per device->host chain flush")
+    p.add_argument("-convergeMain", type=int, choices=[0, 1], nargs="?",
+                   const=1, default=0,
+                   help="treat -nMainSteps as a CAP and stop the main "
+                        "phase early once S >= tauFactor * tau for every "
+                        "parameter with a stable tau estimate (emcee's "
+                        "convergence recipe; the reference hard-codes "
+                        "chain lengths)")
+    p.add_argument("-tauFactor", default=50.0, type=float,
+                   help="chain-length multiple of the integrated "
+                        "autocorrelation time required by -convergeMain")
     p.add_argument("-resume", default="", type=str,
                    help="resume the MAIN phase from a .ckpt.npz checkpoint "
                         "(skips burn-in; exact continuation incl. PRNG)")
@@ -190,7 +200,9 @@ def main(argv=None) -> dict:
 
     state, total_steps, elapsed = run_phases(
         state, phases, logp_batch, n_walkers=n_walkers,
-        segment=args.segment, prefix=prefix, fingerprint=fingerprint)
+        segment=args.segment, prefix=prefix, fingerprint=fingerprint,
+        adaptive_phase="main" if args.convergeMain else None,
+        tau_factor=args.tauFactor)
     # report quantiles over the main chain
     main_chain, _, n_params, _, _ = chain_io.read_chain_text(main_path)
     flat = main_chain.reshape(-1, n_params)
