@@ -137,12 +137,19 @@ def load_resume_state(path, problem, observed, logp_batch):
     stale values would bias acceptance until overwritten, so they are
     recomputed at the restored positions instead.
     """
+    import sys
+
     import jax
 
     from ..sampler import init_state
     from ..utils import chain_io
 
-    state, extra = chain_io.load_checkpoint(path)
+    if not os.path.exists(path):
+        sys.exit(f"error: -resume checkpoint not found: {path}")
+    try:
+        state, extra = chain_io.load_checkpoint(path)
+    except Exception as e:
+        sys.exit(f"error: could not load -resume checkpoint {path}: {e}")
     fp = posterior_fingerprint(problem, observed)
     old = extra.get("posterior_fp")
     if old is None or not np.array_equal(np.asarray(old, np.uint8), fp):
