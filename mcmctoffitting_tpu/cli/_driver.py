@@ -164,7 +164,7 @@ def load_resume_state(path, problem, observed, logp_batch):
 def run_phases(state, phases, logp_batch, *, n_walkers: int = 0,
                segment: int, prefix: str, fingerprint=None,
                adaptive_phase: str | None = None, tau_factor: float = 50.0,
-               tau_rtol: float = 0.02):
+               tau_rtol: float = 0.02, move: str = "stretch"):
     """Drive the sampler through (name, chain_path, n_steps, truncate)
     phases, streaming chain text per segment and checkpointing per phase.
 
@@ -192,7 +192,7 @@ def run_phases(state, phases, logp_batch, *, n_walkers: int = 0,
         fn = jitted.get(seg)
         if fn is None:
             def segment_fn(st):
-                ch = run_mcmc(st, seg, logp_batch)
+                ch = run_mcmc(st, seg, logp_batch, move=move)
                 return ch.positions, ch.log_probs, ch.n_accepted, ch.state
             fn = jax.jit(segment_fn)
             jitted[seg] = fn
@@ -210,6 +210,10 @@ def run_phases(state, phases, logp_batch, *, n_walkers: int = 0,
         adaptive = phase == adaptive_phase
         pos_acc: list[np.ndarray] = []
         tau_prev = None
+        next_check = 8 * segment   # geometric backoff: the full-history
+        # FFT tau estimate is O(S log S), so re-estimating every segment
+        # would cost O(S^2 log S) over a long run; checking at 1.2x
+        # spacing (emcee's practice) keeps it near-linear
         done = 0
         phase_accepted = 0.0
         while done < n_steps:
@@ -228,8 +232,9 @@ def run_phases(state, phases, logp_batch, *, n_walkers: int = 0,
                 from ..utils.diagnostics import integrated_autocorr_time
 
                 pos_acc.append(np.asarray(positions))
-                if done < 8 * seg:   # far too short for any tau window
+                if done < next_check:   # too short / between backoff points
                     continue
+                next_check = max(done + seg, int(1.2 * done))
                 tau = integrated_autocorr_time(np.concatenate(pos_acc))
                 tau_max = float(tau.max())
                 stable = tau_prev is not None and bool(

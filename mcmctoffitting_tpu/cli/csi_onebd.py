@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "phase early once S >= tauFactor * tau for every "
                         "parameter with a stable tau estimate")
     p.add_argument("-tauFactor", default=50.0, type=float)
+    p.add_argument("-move", choices=["stretch", "de", "mixed"],
+                   default="stretch",
+                   help="ensemble proposal: stretch (reference-faithful), "
+                        "differential evolution, or an alternating mix")
     p.add_argument("-resume", default="", type=str,
                    help="resume the MAIN phase from a .ckpt.npz checkpoint "
                         "(skips burn-in; exact continuation incl. PRNG)")
@@ -223,7 +227,7 @@ def main(argv=None) -> dict:
         state, phases, logp_batch, n_walkers=n_walkers,
         segment=args.segment, prefix=prefix, fingerprint=fingerprint,
         adaptive_phase="main" if args.convergeMain else None,
-        tau_factor=args.tauFactor)
+        tau_factor=args.tauFactor, move=args.move)
 
     main_chain, _, n_params, _, _ = chain_io.read_chain_text(
         prefix + "mainchain.dat")

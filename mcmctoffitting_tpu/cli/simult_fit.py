@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-tauFactor", default=50.0, type=float,
                    help="chain-length multiple of the integrated "
                         "autocorrelation time required by -convergeMain")
+    p.add_argument("-move", choices=["stretch", "de", "mixed"],
+                   default="stretch",
+                   help="ensemble proposal: emcee's stretch (default, "
+                        "reference-faithful), differential evolution, or "
+                        "an alternating mix (better ridge mixing)")
     p.add_argument("-resume", default="", type=str,
                    help="resume the MAIN phase from a .ckpt.npz checkpoint "
                         "(skips burn-in; exact continuation incl. PRNG)")
@@ -202,7 +207,7 @@ def main(argv=None) -> dict:
         state, phases, logp_batch, n_walkers=n_walkers,
         segment=args.segment, prefix=prefix, fingerprint=fingerprint,
         adaptive_phase="main" if args.convergeMain else None,
-        tau_factor=args.tauFactor)
+        tau_factor=args.tauFactor, move=args.move)
     # report quantiles over the main chain
     main_chain, _, n_params, _, _ = chain_io.read_chain_text(main_path)
     flat = main_chain.reshape(-1, n_params)

@@ -22,6 +22,14 @@ Move semantics match emcee's default stretch move: scale a=2, proposal
 z ~ g(z) with g ∝ 1/sqrt(z) on [1/a, a] via inverse-CDF
 z = ((a-1)u + 1)^2 / a, partner drawn uniformly from the complementary
 half, acceptance ln U < (D-1) ln z + logp(y) - logp(x).
+
+Beyond the reference (which only ever drives emcee's stretch), a
+differential-evolution move family is available via ``move=``:
+'de' is ter Braak's DE-MC / emcee's DEMove (y = x + g (a - b), two
+distinct complementary-half partners, g = gamma0 (1 + sigma N(0,1)),
+gamma0 = 2.38/sqrt(2D)); 'mixed' alternates stretch and DE steps.
+The stretch path's PRNG stream is untouched by the extension (bitwise
+reproducibility of existing chains).
 """
 from __future__ import annotations
 
@@ -130,18 +138,90 @@ def _half_update(pos, lp, parity, step_key, logp_batch, a, n_dim):
     return pos, lp, accept
 
 
-def make_step(logp_batch, a: float = 2.0):
-    """One full ensemble step (both half-updates) as a scannable function."""
+def _half_update_de(pos, lp, parity, step_key, logp_batch, gamma0,
+                    de_sigma):
+    """Differential-evolution half-update (ter Braak DE-MC; emcee DEMove).
+
+    Proposal y = x + g * (a - b) with a != b drawn from the complementary
+    half and g = gamma0 * (1 + de_sigma * N(0,1)).  The proposal is
+    symmetric, so the Metropolis ratio is just logp(y) - logp(x) — no
+    stretch-style dimension factor.  DE adapts its step to the ensemble's
+    own covariance along EVERY direction (the difference vectors sample
+    it), which mixes the eLoss/scale/s lognorm ridge the stretch move
+    crawls along; the reference offers emcee's stretch only.
+    """
+    n_half = pos.shape[0] // 2
+    if n_half < 2:
+        raise ValueError("the DE move needs >= 4 walkers (two distinct "
+                         "complementary-half partners per proposal)")
+    active = pos[parity::2]
+    passive = pos[1 - parity::2]
+    lp_active = lp[parity::2]
+
+    kg, kj, ku, ke = jax.random.split(step_key, 4)
+    k1, k2 = jax.random.split(kj)
+    j1 = jax.random.randint(k1, (n_half,), 0, n_half)
+    # distinct second partner: uniform over the other n_half - 1 indices
+    j2 = (j1 + 1 + jax.random.randint(k2, (n_half,), 0, n_half - 1)
+          ) % n_half
+    g = gamma0 * (1.0 + de_sigma * jax.random.normal(kg, (n_half,)))
+    proposal = active + g[:, None] * (passive[j1] - passive[j2])
+
+    eval_keys = jax.random.split(ke, n_half)
+    lp_prop = logp_batch(proposal, eval_keys)
+
+    accept = jnp.log(jax.random.uniform(ku, (n_half,))) < lp_prop - lp_active
+    new_active = jnp.where(accept[:, None], proposal, active)
+    new_lp_active = jnp.where(accept, lp_prop, lp_active)
+    pos = pos.at[parity::2].set(new_active)
+    lp = lp.at[parity::2].set(new_lp_active)
+    return pos, lp, accept
+
+
+def make_step(logp_batch, a: float = 2.0, *, move: str = "stretch",
+              gamma0: Optional[float] = None, de_sigma: float = 1e-5):
+    """One full ensemble step (both half-updates) as a scannable function.
+
+    ``move``: 'stretch' (emcee default, bitwise-stable key stream),
+    'de' (differential evolution), or 'mixed' (alternate stretch / DE per
+    step — a cycle of valid kernels shares their stationary distribution,
+    pairing stretch's affine invariance with DE's ridge-following).
+    ``gamma0`` defaults to ter Braak's 2.38 / sqrt(2 D).
+    """
+    if move not in ("stretch", "de", "mixed"):
+        raise ValueError(f"unknown move {move!r}")
 
     def step(state: EnsembleState, _):
         pos, lp, key, step_idx = state
         n_dim = pos.shape[1]
+        g0 = (2.38 / (2.0 * n_dim) ** 0.5) if gamma0 is None else gamma0
         key, k_even, k_odd = jax.random.split(
             jax.random.fold_in(key, step_idx), 3)
-        pos, lp, acc_e = _half_update(pos, lp, 0, k_even, logp_batch, a,
-                                      n_dim)
-        pos, lp, acc_o = _half_update(pos, lp, 1, k_odd, logp_batch, a,
-                                      n_dim)
+
+        def stretch_both(pos, lp):
+            pos, lp, acc_e = _half_update(pos, lp, 0, k_even, logp_batch,
+                                          a, n_dim)
+            pos, lp, acc_o = _half_update(pos, lp, 1, k_odd, logp_batch,
+                                          a, n_dim)
+            return pos, lp, acc_e, acc_o
+
+        def de_both(pos, lp):
+            pos, lp, acc_e = _half_update_de(pos, lp, 0, k_even,
+                                             logp_batch, g0, de_sigma)
+            pos, lp, acc_o = _half_update_de(pos, lp, 1, k_odd,
+                                             logp_batch, g0, de_sigma)
+            return pos, lp, acc_e, acc_o
+
+        if move == "stretch":
+            pos, lp, acc_e, acc_o = stretch_both(pos, lp)
+        elif move == "de":
+            pos, lp, acc_e, acc_o = de_both(pos, lp)
+        else:  # mixed: even steps stretch, odd steps DE
+            pos, lp, acc_e, acc_o = jax.lax.cond(
+                step_idx % 2 == 0,
+                lambda p, l: stretch_both(p, l),
+                lambda p, l: de_both(p, l),
+                pos, lp)
         accepted = jnp.zeros(pos.shape[0], jnp.int32)
         accepted = accepted.at[0::2].set(acc_e.astype(jnp.int32))
         accepted = accepted.at[1::2].set(acc_o.astype(jnp.int32))
@@ -152,16 +232,20 @@ def make_step(logp_batch, a: float = 2.0):
 
 
 def run_mcmc(state: EnsembleState, n_steps: int, logp_batch, *,
-             a: float = 2.0, unroll: int = 1) -> Chain:
+             a: float = 2.0, unroll: int = 1, move: str = "stretch",
+             gamma0: Optional[float] = None, de_sigma: float = 1e-5
+             ) -> Chain:
     """Advance the ensemble ``n_steps`` steps under one ``lax.scan``."""
-    step = make_step(logp_batch, a)
+    step = make_step(logp_batch, a, move=move, gamma0=gamma0,
+                     de_sigma=de_sigma)
     final, (pos_hist, lp_hist, acc_hist) = jax.lax.scan(
         step, state, None, length=n_steps, unroll=unroll)
     return Chain(pos_hist, lp_hist, jnp.sum(acc_hist, axis=0), final)
 
 
 def sample(key, p0, n_steps: int, log_prob_fn, *, a: float = 2.0,
-           stochastic: bool = True, chunk: Optional[int] = None) -> Chain:
+           stochastic: bool = True, chunk: Optional[int] = None,
+           move: str = "stretch", gamma0: Optional[float] = None) -> Chain:
     """One-call convenience API: init + run.
 
     Mirrors ``EnsembleSampler(nWalkers, dim, lnprob).run_mcmc(p0, N)``.
@@ -169,4 +253,5 @@ def sample(key, p0, n_steps: int, log_prob_fn, *, a: float = 2.0,
     logp_batch = make_logp_batch(log_prob_fn, stochastic=stochastic,
                                  chunk=chunk)
     state = init_state(key, p0, logp_batch)
-    return run_mcmc(state, n_steps, logp_batch, a=a)
+    return run_mcmc(state, n_steps, logp_batch, a=a, move=move,
+                    gamma0=gamma0)

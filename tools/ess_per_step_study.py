@@ -53,7 +53,7 @@ N_MAIN = _arg("--main", 900)
 N_RUNS, N_DRAWS = 2, 50_000
 
 
-def run_chain(sampling: str):
+def run_chain(sampling: str, move: str = "stretch"):
     import jax.numpy as jnp
     spec = simult.default_spec(n_samples=N_DRAWS, sampling=sampling)
     problem = simult.SimultFitProblem(spec, n_runs=N_RUNS,
@@ -67,18 +67,19 @@ def run_chain(sampling: str):
                                                N_WALKERS, observed)
     t0 = time.time()
     state = init_state(jax.random.fold_in(key, 2), p0, logp_batch)
-    burn = run_mcmc(state, N_BURNIN, logp_batch)
-    main = run_mcmc(burn.state, N_MAIN, logp_batch)
+    burn = run_mcmc(state, N_BURNIN, logp_batch, move=move)
+    main = run_mcmc(burn.state, N_MAIN, logp_batch, move=move)
     elapsed = time.time() - t0
     chain = np.asarray(main.positions)                 # (S, W, D)
     acc = float(np.mean(np.asarray(main.acceptance_fraction)))
     tau = integrated_autocorr_time(chain)
     ess = chain.shape[0] * chain.shape[1] / tau
     rhat = split_rhat(chain)
-    print(f"{sampling}: {elapsed:.0f}s, acc={acc:.3f}, "
+    print(f"{sampling}/{move}: {elapsed:.0f}s, acc={acc:.3f}, "
           f"max tau={tau.max():.1f}, min ESS={ess.min():.0f}, "
           f"max R-hat={np.nanmax(rhat):.3f}", flush=True)
-    return {"sampling": sampling, "elapsed_s": elapsed, "acc": acc,
+    return {"sampling": sampling, "move": move,
+            "elapsed_s": elapsed, "acc": acc,
             "tau": tau.tolist(), "ess": ess.tolist(),
             "ess_per_step": (ess / N_MAIN).tolist(),
             "rhat": np.asarray(rhat).tolist(),
@@ -86,6 +87,26 @@ def run_chain(sampling: str):
 
 
 def main():
+    if "--compare-moves" in sys.argv:
+        # mixing of the proposal families at equal chain length (counts
+        # estimator; the reference's emcee offers stretch only)
+        out = {"config": {"runs": N_RUNS, "draws": N_DRAWS,
+                          "walkers": N_WALKERS, "burnin": N_BURNIN,
+                          "main": N_MAIN, "likelihood": "poisson",
+                          "sampling": "counts"}}
+        for move in ("stretch", "de", "mixed"):
+            out[move] = run_chain("counts", move=move)
+        base = np.min(out["stretch"]["ess"])
+        for move in ("de", "mixed"):
+            r = float(np.min(out[move]["ess"]) / base)
+            out[f"min_ess_ratio_{move}_over_stretch"] = r
+            print(f"min-ESS ratio {move}/stretch: {r:.2f}", flush=True)
+        os.makedirs("out", exist_ok=True)
+        with open("out/ess_moves.json", "w") as f:
+            json.dump(out, f, indent=1)
+        print("wrote out/ess_moves.json")
+        return
+
     out = {"config": {"runs": N_RUNS, "draws": N_DRAWS,
                       "walkers": N_WALKERS, "burnin": N_BURNIN,
                       "main": N_MAIN, "likelihood": "poisson"}}
