@@ -54,6 +54,10 @@ PRNG = os.environ.get("BENCH_PRNG", "")
 # within-cell moment closure A/B ('exact' default | 'cell' = 2-row ndtr
 # chain + analytic h^2/12 closure; ForwardSpec.moment_closure)
 CLOSURE = os.environ.get("BENCH_CLOSURE", "")
+# ensemble proposal A/B ('stretch' default | 'de' | 'mixed'); 'mixed' is
+# 1.60x min-ESS per step on this posterior (RESULTS_r3.md), so its
+# walker-steps/s should multiply, not trade, science throughput
+MOVE = os.environ.get("BENCH_MOVE", "")
 
 
 def _log(msg: str) -> None:
@@ -131,7 +135,8 @@ def measure_tpu(sampling: str = "counts") -> tuple[float, float, int]:
     # explicitly so the FLOP count (for MFU) comes from the exact program
     # being timed
     def segment(s):
-        chain = run_mcmc(s, N_STEPS_MEASURE, logp_batch)
+        chain = run_mcmc(s, N_STEPS_MEASURE, logp_batch,
+                         move=MOVE or "stretch")
         return chain.positions, chain.state  # pytree outputs only
 
     run = jax.jit(segment)
@@ -260,6 +265,7 @@ def _is_default_config() -> bool:
     configuration bench_last.json is ever written for (and therefore the
     only one the wedged-tunnel fallback may replay)."""
     return not (SAMPLING or WALKER_CHUNK or PRNG or MESH or CLOSURE
+                or MOVE
                 or os.environ.get("BENCH_WALKERS")
                 or os.environ.get("BENCH_FINE")
                 or os.environ.get("BENCH_HIST_CHUNK")
@@ -299,6 +305,8 @@ def main() -> None:
         "sampling": headline,
         "n_devices": n_dev,
     }
+    if MOVE:
+        out["move"] = MOVE
     if not SAMPLING:
         # also record the faithful per-sample path (the reference-literal
         # estimator; its roofline status is documented in RESULTS_r3.md)

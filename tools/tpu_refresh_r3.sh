@@ -26,6 +26,8 @@ run bench_closure_cell 1800 env BENCH_SAMPLING=counts BENCH_CLOSURE=cell python 
 # 1c. deterministic expected-forward refresh (+closure A/B)
 run bench_expected 1800 env BENCH_SAMPLING=expected python bench.py
 run bench_expected_cell 1800 env BENCH_SAMPLING=expected BENCH_CLOSURE=cell python bench.py
+# 1d. DE-mixed move A/B (per-step cost of the 1.6x-ESS proposal)
+run bench_move_mixed 1800 env BENCH_MOVE=mixed python bench.py
 # 2. counts-mode stage split, simult + oneBD
 run stages_simult 1800 python tools/tpu_counts_stages.py
 run stages_onebd 1800 python tools/tpu_counts_stages.py --onebd
