@@ -45,6 +45,10 @@ def main(argv=None) -> dict:
     p.add_argument("-ptSteps", default=10_000, type=int)
     p.add_argument("-thin", default=10, type=int)
     p.add_argument("-skipEnsemble", action="store_true")
+    p.add_argument("-move", choices=["stretch", "de", "mixed"],
+                   default="stretch",
+                   help="proposal family for BOTH the ensemble and the "
+                        "PT rungs (stretch = reference-faithful)")
     p.add_argument("-seed", default=0, type=int)
     p.add_argument("--debug", action="store_true",
                    help="shrink every phase for a fast smoke run")
@@ -83,6 +87,7 @@ def main(argv=None) -> dict:
               + 1e-4 * jax.random.normal(jax.random.fold_in(key, 1),
                                          (args.nWalkers, 3)))
         chain = sample(jax.random.fold_in(key, 2), p0, args.nSteps, logp,
+                       move=args.move,
                        stochastic=True)
         jax.block_until_ready(chain.positions)
         acc = np.asarray(chain.acceptance_fraction)
@@ -107,10 +112,11 @@ def main(argv=None) -> dict:
           + 1e-3 * jax.random.normal(jax.random.fold_in(key, 3),
                                      (args.nTemps, args.ptWalkers, 3)))
     burn = sample_pt(jax.random.fold_in(key, 4), p0, args.ptBurnin,
-                     loglike, logprior)
+                     loglike, logprior, move=args.move)
     main_chain = sample_pt(jax.random.fold_in(key, 5),
                            burn.state.positions, args.ptSteps,
-                           loglike, logprior, thin=args.thin)
+                           loglike, logprior, thin=args.thin,
+                           move=args.move)
     jax.block_until_ready(main_chain.positions)
     cold = np.asarray(main_chain.cold_chain).reshape(-1, 3)
     q = np.percentile(cold, [16, 50, 84], axis=0)
@@ -166,10 +172,10 @@ def _run_tof_pt(args, key) -> dict:
         args.nTemps * args.ptWalkers, observed).reshape(
             args.nTemps, args.ptWalkers, problem.n_dim)
     burn = sample_pt(jax.random.fold_in(key, 2), p0, args.ptBurnin,
-                     loglike, logprior, stochastic=True)
+                     loglike, logprior, stochastic=True, move=args.move)
     chain = sample_pt(jax.random.fold_in(key, 3), burn.state.positions,
                       args.ptSteps, loglike, logprior, thin=args.thin,
-                      stochastic=True)
+                      stochastic=True, move=args.move)
     jax.block_until_ready(chain.positions)
     cold = np.asarray(chain.cold_chain).reshape(-1, problem.n_dim)
     swaps = np.asarray(chain.n_swaps_accepted) / args.ptSteps \

@@ -11,6 +11,11 @@ Tempered posterior at inverse temperature beta: logprior + beta * loglike.
 Swap acceptance between adjacent rungs (i cold, j=i+1 hot), with walkers of
 the hotter rung randomly permuted:  ln U < (beta_i - beta_j) *
 (loglike_j - loglike_i)  — standard replica exchange, matching PTSampler.
+
+The within-rung proposal family matches the ensemble sampler's
+(``move=`` 'stretch' | 'de' | 'mixed'; see sampler/stretch.py) — the
+tempered DE half-update just adds the beta weighting to the symmetric
+Metropolis ratio.
 """
 from __future__ import annotations
 
@@ -171,6 +176,47 @@ def _tempered_half_update(pos, ll, lp, betas, parity, step_key,
     return pos, ll, lp, accept
 
 
+def _tempered_half_update_de(pos, ll, lp, betas, parity, step_key,
+                             loglike_batch, logprior_batch, gamma0,
+                             de_sigma):
+    """DE-MC half-update batched over (T, walkers/2) — the tempered twin
+    of ``stretch._half_update_de`` (symmetric proposal: no z factor)."""
+    n_temps, n_walkers, _ = pos.shape
+    n_half = n_walkers // 2
+    if n_half < 2:
+        raise ValueError("the DE move needs >= 4 walkers per rung")
+    active = pos[:, parity::2]
+    passive = pos[:, 1 - parity::2]
+    ll_a = ll[:, parity::2]
+    lp_a = lp[:, parity::2]
+
+    kg, kj, ku, ke = jax.random.split(step_key, 4)
+    k1, k2 = jax.random.split(kj)
+    j1 = jax.random.randint(k1, (n_temps, n_half), 0, n_half)
+    j2 = (j1 + 1 + jax.random.randint(k2, (n_temps, n_half), 0,
+                                      n_half - 1)) % n_half
+    g = gamma0 * (1.0 + de_sigma * jax.random.normal(
+        kg, (n_temps, n_half)))
+    d = (jnp.take_along_axis(passive, j1[:, :, None], axis=1)
+         - jnp.take_along_axis(passive, j2[:, :, None], axis=1))
+    prop = active + g[..., None] * d
+
+    eval_keys = jax.random.split(ke, n_temps * n_half).reshape(
+        n_temps, n_half, -1)
+    ll_new = loglike_batch(prop, eval_keys)
+    lp_new = logprior_batch(prop, eval_keys)
+
+    log_ratio = (lp_new + betas[:, None] * ll_new
+                 - lp_a - betas[:, None] * ll_a)
+    accept = jnp.log(jax.random.uniform(ku, (n_temps, n_half))) < log_ratio
+
+    pos = pos.at[:, parity::2].set(
+        jnp.where(accept[..., None], prop, active))
+    ll = ll.at[:, parity::2].set(jnp.where(accept, ll_new, ll_a))
+    lp = lp.at[:, parity::2].set(jnp.where(accept, lp_new, lp_a))
+    return pos, ll, lp, accept
+
+
 def _replica_exchange(pos, ll, lp, betas, key):
     """One sweep of adjacent-rung swaps, coldest pair last."""
     n_temps, n_walkers, _ = pos.shape
@@ -201,20 +247,45 @@ def _replica_exchange(pos, ll, lp, betas, key):
     return pos, ll, lp, swap_counts
 
 
-def make_pt_step(loglike_batch, logprior_batch, betas, a: float = 2.0):
+def make_pt_step(loglike_batch, logprior_batch, betas, a: float = 2.0,
+                 *, move: str = "stretch",
+                 gamma0: Optional[float] = None, de_sigma: float = 1e-5):
+    if move not in ("stretch", "de", "mixed"):
+        raise ValueError(f"unknown move {move!r}")
     betas = jnp.asarray(betas, jnp.float32)
 
     def step(state: PTState, _):
         pos, ll, lp, key, step_idx = state
         n_dim = pos.shape[-1]
+        g0 = (2.38 / (2.0 * n_dim) ** 0.5) if gamma0 is None else gamma0
         key, k_e, k_o, k_s = jax.random.split(
             jax.random.fold_in(key, step_idx), 4)
-        pos, ll, lp, acc_e = _tempered_half_update(
-            pos, ll, lp, betas, 0, k_e, loglike_batch, logprior_batch, a,
-            n_dim)
-        pos, ll, lp, acc_o = _tempered_half_update(
-            pos, ll, lp, betas, 1, k_o, loglike_batch, logprior_batch, a,
-            n_dim)
+
+        def stretch_both(pos, ll, lp):
+            pos, ll, lp, acc_e = _tempered_half_update(
+                pos, ll, lp, betas, 0, k_e, loglike_batch, logprior_batch,
+                a, n_dim)
+            pos, ll, lp, acc_o = _tempered_half_update(
+                pos, ll, lp, betas, 1, k_o, loglike_batch, logprior_batch,
+                a, n_dim)
+            return pos, ll, lp, acc_e, acc_o
+
+        def de_both(pos, ll, lp):
+            pos, ll, lp, acc_e = _tempered_half_update_de(
+                pos, ll, lp, betas, 0, k_e, loglike_batch, logprior_batch,
+                g0, de_sigma)
+            pos, ll, lp, acc_o = _tempered_half_update_de(
+                pos, ll, lp, betas, 1, k_o, loglike_batch, logprior_batch,
+                g0, de_sigma)
+            return pos, ll, lp, acc_e, acc_o
+
+        if move == "stretch":
+            pos, ll, lp, acc_e, acc_o = stretch_both(pos, ll, lp)
+        elif move == "de":
+            pos, ll, lp, acc_e, acc_o = de_both(pos, ll, lp)
+        else:
+            pos, ll, lp, acc_e, acc_o = jax.lax.cond(
+                step_idx % 2 == 0, stretch_both, de_both, pos, ll, lp)
         pos, ll, lp, swaps = _replica_exchange(pos, ll, lp, betas, k_s)
         accepted = jnp.zeros(pos.shape[:2], jnp.int32)
         accepted = accepted.at[:, 0::2].set(acc_e.astype(jnp.int32))
@@ -330,7 +401,8 @@ def sample_pt_adaptive(key, p0, n_steps: int, loglike_fn, logprior_fn, *,
 
 def sample_pt(key, p0, n_steps: int, loglike_fn, logprior_fn, *,
               betas=None, n_temps: Optional[int] = None, a: float = 2.0,
-              stochastic: bool = False, thin: int = 1) -> PTChain:
+              stochastic: bool = False, thin: int = 1,
+              move: str = "stretch") -> PTChain:
     """PTSampler equivalent: p0 (T, W, D) or (W, D) with n_temps given."""
     p0 = jnp.asarray(p0, dtype=jnp.float32)
     if p0.ndim == 2:
@@ -343,7 +415,7 @@ def sample_pt(key, p0, n_steps: int, loglike_fn, logprior_fn, *,
     loglike_batch = _make_batched(loglike_fn, stochastic)
     logprior_batch = _make_batched(logprior_fn, stochastic)
     state = init_pt_state(key, p0, loglike_batch, logprior_batch)
-    step = make_pt_step(loglike_batch, logprior_batch, betas, a)
+    step = make_pt_step(loglike_batch, logprior_batch, betas, a, move=move)
     final, (pos, ll, lp, acc, swaps) = jax.lax.scan(
         step, state, None, length=n_steps)
     if thin > 1:

@@ -108,3 +108,41 @@ def test_partners_distinct_and_symmetric_factor():
         # flat target accepts everything; every displacement nonzero
         assert acc.all()
         assert (np.abs(moved).sum(axis=1) > 1e-7).all()
+
+
+@pytest.mark.parametrize("move", ["de", "mixed"])
+def test_pt_cold_chain_with_de(move):
+    """PT carries the move family too: cold-chain correctness + live
+    replica exchange under DE/mixed proposals."""
+    from mcmctoffitting_tpu.sampler.pt import sample_pt
+
+    def loglike(theta):
+        return -0.5 * jnp.sum(theta ** 2)
+
+    def logprior(theta):
+        return jnp.asarray(0.0)
+
+    p0 = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (4, 32, 2))
+    chain = sample_pt(jax.random.PRNGKey(1), p0, 500, loglike, logprior,
+                      move=move)
+    cold = np.asarray(chain.cold_chain[200:]).reshape(-1, 2)
+    assert abs(cold.mean()) < 0.12
+    np.testing.assert_allclose(cold.std(axis=0), 1.0, atol=0.12)
+    assert (np.asarray(chain.n_swaps_accepted) > 0).all()
+
+
+def test_pt_stretch_stream_unchanged():
+    from mcmctoffitting_tpu.sampler.pt import sample_pt
+
+    def loglike(theta):
+        return -0.5 * jnp.sum(theta ** 2)
+
+    def logprior(theta):
+        return jnp.asarray(0.0)
+
+    p0 = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (3, 8, 2))
+    default = sample_pt(jax.random.PRNGKey(3), p0, 30, loglike, logprior)
+    explicit = sample_pt(jax.random.PRNGKey(3), p0, 30, loglike, logprior,
+                         move="stretch")
+    np.testing.assert_array_equal(np.asarray(default.positions),
+                                  np.asarray(explicit.positions))

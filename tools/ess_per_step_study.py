@@ -55,10 +55,25 @@ N_RUNS, N_DRAWS = 2, 50_000
 
 def run_chain(sampling: str, move: str = "stretch"):
     import jax.numpy as jnp
-    spec = simult.default_spec(n_samples=N_DRAWS, sampling=sampling)
-    problem = simult.SimultFitProblem(spec, n_runs=N_RUNS,
-                                      likelihood="poisson")
-    truth = np.concatenate([simult.GUESS_SHARED, np.full(N_RUNS, 5.0e4)])
+    if "--onebd" in sys.argv:
+        import dataclasses
+
+        from mcmctoffitting_tpu.models import onebd
+        spec = onebd.default_spec(n_samples=N_DRAWS, sampling=sampling)
+        # deterministic background isolates the MOVE effect (the faithful
+        # per-eval Poisson bg draw freezes acceptance for every move;
+        # RESULTS_r3.md "a third reference noise source")
+        spec = dataclasses.replace(spec, bg_mode="expected")
+        problem = onebd.OneBDProblem(spec, n_runs=3,
+                                     likelihood="poisson")
+        truth = np.array([1300.0, 80.0, 0.6, 5e4, 5e4, 5e4,
+                          20.0, 20.0, 20.0])
+    else:
+        spec = simult.default_spec(n_samples=N_DRAWS, sampling=sampling)
+        problem = simult.SimultFitProblem(spec, n_runs=N_RUNS,
+                                          likelihood="poisson")
+        truth = np.concatenate([simult.GUESS_SHARED,
+                                np.full(N_RUNS, 5.0e4)])
     key = jax.random.PRNGKey(11)
     observed = data_io.synthesize_observed(jax.random.fold_in(key, 0),
                                            problem, truth)
@@ -90,10 +105,12 @@ def main():
     if "--compare-moves" in sys.argv:
         # mixing of the proposal families at equal chain length (counts
         # estimator; the reference's emcee offers stretch only)
+        suffix = "_onebd" if "--onebd" in sys.argv else ""
         out = {"config": {"runs": N_RUNS, "draws": N_DRAWS,
                           "walkers": N_WALKERS, "burnin": N_BURNIN,
                           "main": N_MAIN, "likelihood": "poisson",
-                          "sampling": "counts"}}
+                          "sampling": "counts",
+                          "problem": "onebd" if suffix else "simult"}}
         for move in ("stretch", "de", "mixed"):
             out[move] = run_chain("counts", move=move)
         base = np.min(out["stretch"]["ess"])
@@ -102,9 +119,9 @@ def main():
             out[f"min_ess_ratio_{move}_over_stretch"] = r
             print(f"min-ESS ratio {move}/stretch: {r:.2f}", flush=True)
         os.makedirs("out", exist_ok=True)
-        with open("out/ess_moves.json", "w") as f:
+        with open(f"out/ess_moves{suffix}.json", "w") as f:
             json.dump(out, f, indent=1)
-        print("wrote out/ess_moves.json")
+        print(f"wrote out/ess_moves{suffix}.json")
         return
 
     out = {"config": {"runs": N_RUNS, "draws": N_DRAWS,
