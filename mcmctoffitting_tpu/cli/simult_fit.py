@@ -99,6 +99,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "analytic within-cell closure for the t^2/t^3 "
                         "channels (error ~f32 rounding at F=1024, half "
                         "the transcendental cost; ops/e0grid.py)")
+    p.add_argument("-fineGrid", default=0, type=int,
+                   help="override the e0-preimage fine-grid size F "
+                        "(default: per-mode — 256 mc / 1024 counts).  "
+                        "Pure throughput/fidelity knob; the posterior-"
+                        "level logp shift is <0.06 sigma for any "
+                        "F >= 512 (RESULTS_r3.md)")
     p.add_argument("-nThreads", default=0, type=int,
                    help="accepted for surface parity and ignored: walker "
                         "parallelism is a device-mesh array axis here, not "
@@ -107,6 +113,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accepted for surface parity and ignored: the MPI "
                         "pool is replaced by jax.distributed + mesh "
                         "sharding (reference tests/simultFit.py:688-706)")
+    p.add_argument("-profile", default="", type=str, metavar="DIR",
+                   help="capture a jax.profiler device trace of the "
+                        "sampling phases into DIR (TensorBoard-compatible; "
+                        "utils/profiling.py).  The reference has no "
+                        "profiler at all (SURVEY.md §5)")
     p.add_argument("-prng", choices=["threefry2x32", "rbg"], default=None,
                    help="PRNG implementation (default: jax's). rbg uses "
                         "the TPU's hardware generator; every sampler in "
@@ -143,6 +154,7 @@ def main(argv=None) -> dict:
     sampling = "expected" if args.expectedForward else args.sampling
     spec = simult.default_spec(
         n_samples=n_draws,
+        fine_grid=args.fineGrid or None,
         xs_mode="e0grid" if sampling != "mc" else args.gridMode,
         sampling=sampling)
     if args.momentClosure != "exact":
@@ -203,11 +215,19 @@ def main(argv=None) -> dict:
         phases = (("burn-in", burnin_path, burnin_steps, True),
                   ("main", main_path, main_steps, True))
 
-    state, total_steps, elapsed = run_phases(
-        state, phases, logp_batch, n_walkers=n_walkers,
-        segment=args.segment, prefix=prefix, fingerprint=fingerprint,
-        adaptive_phase="main" if args.convergeMain else None,
-        tau_factor=args.tauFactor, move=args.move)
+    import contextlib
+
+    from ..utils import profiling
+    prof = (profiling.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
+    with prof:
+        state, total_steps, elapsed = run_phases(
+            state, phases, logp_batch, n_walkers=n_walkers,
+            segment=args.segment, prefix=prefix, fingerprint=fingerprint,
+            adaptive_phase="main" if args.convergeMain else None,
+            tau_factor=args.tauFactor, move=args.move)
+    if args.profile:
+        print(f"profiler trace written to {args.profile}")
     # report quantiles over the main chain
     main_chain, _, n_params, _, _ = chain_io.read_chain_text(main_path)
     flat = main_chain.reshape(-1, n_params)

@@ -46,6 +46,7 @@ def _build_table(rho: float, x_binning_n: int) -> StoppingTable:
 
 
 def default_spec(n_samples: int = 200_000, *,
+                 fine_grid: int | None = None,
                  hardcore: bool = False,
                  xs_mode: str = "e0grid",
                  sampling: str = "mc") -> ForwardSpec:
@@ -70,6 +71,8 @@ def default_spec(n_samples: int = 200_000, *,
         e0_grid_fine = 2048
     else:
         e0_grid_fine = 1024 if hardcore else 512
+    if fine_grid is not None:
+        e0_grid_fine = int(fine_grid)
     if xs_mode == "e0grid":
         from ..ops.e0grid import cached_e0_grid_table
         from ..ops.xs import ddn_xs_uniform

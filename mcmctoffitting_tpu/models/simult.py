@@ -56,6 +56,7 @@ def _build_table(rho: float) -> StoppingTable:
 
 
 def default_spec(n_samples: int = 200_000, *,
+                 fine_grid: int | None = None,
                  transport: str = "table",
                  xs_mode: str = "e0grid",
                  sampling: str = "mc") -> ForwardSpec:
@@ -87,6 +88,8 @@ def default_spec(n_samples: int = 200_000, *,
     # grid — which also shrinks the within-cell granularity that made the
     # coarse-F counts estimator noisier under rint (RESULTS_r3.md)
     e0_grid_fine = 1024 if sampling == "counts" else 256
+    if fine_grid is not None:
+        e0_grid_fine = int(fine_grid)
     if xs_mode == "e0grid" and transport != "table":
         xs_mode = "taylor"  # the e0grid preimages invert the stopping table
     if xs_mode == "e0grid":

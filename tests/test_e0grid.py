@@ -345,3 +345,32 @@ def test_cell_closure_logp_shift_below_f_margin():
     # measured 2026-08-18: max 0.094, std 0.039 — below the 0.052 margin
     assert np.abs(deltas).max() < 0.2
     assert deltas.std() < 0.052
+
+
+def test_fine_grid_override():
+    """fine_grid= overrides the per-mode F default and rebuilds the table.
+
+    The CLI -fineGrid knob rides this; the posterior-level fidelity of any
+    F >= 512 is pinned by the logp-shift study (RESULTS_r3.md, hardcore
+    frontier: std <= 0.06 for F in {512, 1024, 2048}).
+    """
+    from mcmctoffitting_tpu.models import onebd, simult
+
+    s = simult.default_spec(n_samples=1000, sampling="counts",
+                            fine_grid=128)
+    assert s.e0_grid_fine == 128
+    assert s.e0_grid_table.n_fine == 128
+    assert s.e0_grid_table.a_matrix.shape[0] == 4 * 128
+    o = onebd.default_spec(n_samples=1000, sampling="counts", fine_grid=256)
+    assert o.e0_grid_fine == 256
+    # default untouched
+    assert simult.default_spec(n_samples=1000,
+                               sampling="counts").e0_grid_fine == 1024
+
+
+def test_fine_grid_cli_flag():
+    from mcmctoffitting_tpu.cli.csi_onebd import build_parser as onebd_p
+    from mcmctoffitting_tpu.cli.simult_fit import build_parser as simult_p
+    assert simult_p().parse_args(["-fineGrid", "512"]).fineGrid == 512
+    assert onebd_p().parse_args(["-fineGrid", "512"]).fineGrid == 512
+    assert simult_p().parse_args([]).fineGrid == 0
