@@ -84,6 +84,24 @@ def _host_stretch_halves(pos, lp, call, rng, a):
     return acc
 
 
+
+def _stack_cached(obj, name, steps, axis):
+    """Stack a step list once per length: reference drivers read .chain
+    inside their per-iteration progress loops, and emcee 2 hands back a
+    preallocated ndarray there — an uncached np.stack would make those
+    loops O(S^2) in chain length."""
+    cache = getattr(obj, "_stack_cache", None)
+    if cache is None:
+        cache = {}
+        obj._stack_cache = cache
+    hit = cache.get(name)
+    if hit is not None and hit[0] == len(steps):
+        return hit[1]
+    arr = np.stack(steps, axis=axis)
+    cache[name] = (len(steps), arr)
+    return arr
+
+
 class EnsembleSampler:
     """emcee-2-compatible affine-invariant ensemble sampler.
 
@@ -121,6 +139,7 @@ class EnsembleSampler:
     # -- emcee surface -------------------------------------------------
     def reset(self):
         """Clear the stored chain and counters (keeps the random state)."""
+        self._stack_cache = {}   # same-length reuse after reset = stale
         self._pos_steps: list[np.ndarray] = []
         self._lp_steps: list[np.ndarray] = []
         self._naccepted = np.zeros(self.nwalkers)
@@ -132,7 +151,7 @@ class EnsembleSampler:
         """(nwalkers, nsteps, ndim) — emcee's walker-major layout."""
         if not self._pos_steps:
             return np.empty((self.nwalkers, 0, self.dim))
-        return np.stack(self._pos_steps, axis=1)
+        return _stack_cached(self, "pos", self._pos_steps, 1)
 
     @property
     def flatchain(self) -> np.ndarray:
@@ -143,7 +162,7 @@ class EnsembleSampler:
         """(nwalkers, nsteps)."""
         if not self._lp_steps:
             return np.empty((self.nwalkers, 0))
-        return np.stack(self._lp_steps, axis=1)
+        return _stack_cached(self, "lp", self._lp_steps, 1)
 
     @property
     def flatlnprobability(self) -> np.ndarray:
@@ -240,7 +259,11 @@ class EnsembleSampler:
                 rstate = self._rng
             self._naccepted += acc
             self.iterations += 1
-            if storechain and (i + 1) % thin == 0:
+            if storechain and i % thin == 0:
+                # emcee 2 stores iterations 0, thin, 2*thin, ... —
+                # ceil(iterations/thin) rows, NOT (i+1) % thin
+                # (which drops the first stored step and changes
+                # chain length when thin does not divide iterations)
                 self._pos_steps.append(pos)
                 self._lp_steps.append(lp)
             self._last = (pos, lp, rstate)
@@ -299,6 +322,7 @@ class PTSampler:
         self.reset()
 
     def reset(self):
+        self._stack_cache = {}   # same-length reuse after reset = stale
         self._pos_steps: list[np.ndarray] = []    # each (T, W, D)
         self._ll_steps: list[np.ndarray] = []     # each (T, W)
         self._lp_steps: list[np.ndarray] = []     # tempered lnprob (T, W)
@@ -313,19 +337,19 @@ class PTSampler:
         """(ntemps, nwalkers, nsteps, ndim)."""
         if not self._pos_steps:
             return np.empty((self.ntemps, self.nwalkers, 0, self.dim))
-        return np.stack(self._pos_steps, axis=2)
+        return _stack_cached(self, "pos", self._pos_steps, 2)
 
     @property
     def lnlikelihood(self) -> np.ndarray:
         if not self._ll_steps:
             return np.empty((self.ntemps, self.nwalkers, 0))
-        return np.stack(self._ll_steps, axis=2)
+        return _stack_cached(self, "ll", self._ll_steps, 2)
 
     @property
     def lnprobability(self) -> np.ndarray:
         if not self._lp_steps:
             return np.empty((self.ntemps, self.nwalkers, 0))
-        return np.stack(self._lp_steps, axis=2)
+        return _stack_cached(self, "lp", self._lp_steps, 2)
 
     @property
     def flatchain(self) -> np.ndarray:
@@ -479,7 +503,11 @@ class PTSampler:
             self._naccepted += acc
             self.iterations += 1
             lnprob = lp + self.betas[:, None] * ll
-            if storechain and (i + 1) % thin == 0:
+            if storechain and i % thin == 0:
+                # emcee 2 stores iterations 0, thin, 2*thin, ... —
+                # ceil(iterations/thin) rows, NOT (i+1) % thin
+                # (which drops the first stored step and changes
+                # chain length when thin does not divide iterations)
                 self._pos_steps.append(pos)
                 self._ll_steps.append(ll)
                 self._lp_steps.append(lnprob)

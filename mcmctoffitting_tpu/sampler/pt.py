@@ -116,8 +116,17 @@ def thermodynamic_integration_log_evidence(log_like, betas, *,
         betas = np.concatenate([betas, [0.0]])
         mean_logls = np.concatenate([mean_logls, mean_logls[-1:]])
 
-    ln_z = -np.trapezoid(mean_logls, betas)
-    ln_z2 = -np.trapezoid(mean_logls[::2], betas[::2])
+    trapezoid = getattr(np, "trapezoid", None) or np.trapz  # numpy < 2.0
+    ln_z = -trapezoid(mean_logls, betas)
+    # half-resolution ladder for the error estimate: every other rung with
+    # BOTH endpoints kept — a bare betas[::2] silently drops the appended
+    # beta=0 endpoint whenever the rung count is odd, inflating the error
+    # bar by the whole hot-tail strip (emcee 2 re-appends 0 after
+    # subsampling for the same reason)
+    idx = np.arange(0, betas.size, 2)
+    if idx[-1] != betas.size - 1:
+        idx = np.concatenate([idx, [betas.size - 1]])
+    ln_z2 = -trapezoid(mean_logls[idx], betas[idx])
     return float(ln_z), float(abs(ln_z - ln_z2))
 
 

@@ -124,7 +124,8 @@ def test_pt_sampler_reference_pattern(logl, logp, backend, iters):
     for p, lnp, lnl in pt.sample(p, lnprob0=lnp, lnlike0=lnl,
                                  iterations=n_main, thin=2):
         pass
-    assert pt.chain.shape == (ntemps, nwalkers, n_main // 2, D)
+    # emcee 2 stores iterations 0, thin, 2*thin, ... -> ceil(N/thin) rows
+    assert pt.chain.shape == (ntemps, nwalkers, -(-n_main // 2), D)
 
     # cold chain reproduces the analytic posterior
     zero_temp = pt.chain[0].reshape(-1, D)   # reference's slicing pattern
@@ -147,3 +148,15 @@ def test_pt_ti_evidence_via_shim():
     lnz_true = D * (-0.5 * np.log(2 * np.pi * (SIG ** 2 + S_PRIOR ** 2)))
     assert abs(ln_z - lnz_true) < 0.2
     assert 0.0 < d_ln_z < 0.5
+
+
+def test_thin_matches_emcee2_semantics():
+    """Regression: emcee 2 stores iterations 0, thin, 2*thin, ... so
+    iterations=10, thin=3 keeps 4 rows (i = 0, 3, 6, 9) — an
+    (i+1) % thin rule keeps only 3 and drops the first stored step."""
+    s = emcee.EnsembleSampler(8, D, _logl, seed=11)
+    p0 = np.random.default_rng(1).standard_normal((8, D))
+    for out in s.sample(p0, iterations=10, thin=3):
+        pass
+    assert s.chain.shape == (8, 4, D)
+    assert s.lnprobability.shape == (8, 4)

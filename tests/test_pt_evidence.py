@@ -83,3 +83,24 @@ def test_ti_evidence_ranks_models(pt_chain):
                                                    + S_PRIOR ** 2)))
     assert ln_z > ln_z_bad
     assert abs(ln_z_bad - lnz_bad_true) < 0.15
+
+
+def test_ti_odd_ladder_error_bar_keeps_beta0_endpoint():
+    """Regression: betas[::2] on an odd rung count dropped the appended
+    beta=0 endpoint, inflating d_ln_z by the whole hot-tail strip.
+
+    Construct a chain whose mean ln L is exactly linear in beta: the
+    trapezoid rule is then exact at ANY resolution, so d_ln_z must be ~0
+    for every ladder size, odd or even.
+    """
+    for n_temps in (15, 16, 21):
+        betas = default_beta_ladder(n_temps)
+        # mean ln L(beta) = a + b*beta, identical across walkers/steps
+        ll = (2.0 + 3.0 * betas)[None, :, None] * np.ones((50, n_temps, 4))
+        ln_z, d_ln_z = thermodynamic_integration_log_evidence(
+            ll, betas, fburnin=0.2)
+        # residual ~2e-5 is the real flat-tail [0, beta_min] quadrature
+        # error; the dropped-endpoint bug measured 0.0775 at n_temps=15
+        assert d_ln_z < 1e-3, (n_temps, d_ln_z)
+        # ln Z = integral of (2 + 3 beta) over beta in [0, 1] = 3.5
+        assert abs(ln_z - 3.5) < 1e-2
