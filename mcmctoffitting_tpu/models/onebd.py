@@ -68,7 +68,13 @@ def default_spec(n_samples: int = 200_000, *,
     # 2x the moment-dot cost.  counts mode costs O(F), so it takes the
     # finer grid outright (see simult.default_spec)
     if sampling == "counts":
-        e0_grid_fine = 2048
+        # F=1024 measured equivalent to 2048 at the 200k-draw production
+        # scale on all three instruments (operator logp shift 0.051 vs
+        # 0.053, per-eval noise 0.130 vs 0.121, posterior A/B worst
+        # |dz| = 0.09) at ~1.7x the sampling speed
+        # (tools/counts_f_study.py, tools/counts_f_posterior_ab.py);
+        # small-draw runs keep the finer grid (see simult.default_spec)
+        e0_grid_fine = 1024 if n_samples >= 100_000 else 2048
     else:
         e0_grid_fine = 1024 if hardcore else 512
     if fine_grid is not None:

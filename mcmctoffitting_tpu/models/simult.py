@@ -84,10 +84,21 @@ def default_spec(n_samples: int = 200_000, *,
     # F=256 measured: max per-cell error 8.7% of the bin's own MC noise at
     # the 200k-draw default (the ratio is N-independent), 17% faster than
     # F=512 (the moment dot is F-proportional); tools/tpu_e0grid_stages.py
-    # counts mode costs O(F) instead of O(N*F), so it affords a 4x finer
+    # counts mode costs O(F) instead of O(N*F), so it affords a finer
     # grid — which also shrinks the within-cell granularity that made the
-    # coarse-F counts estimator noisier under rint (RESULTS_r3.md)
-    e0_grid_fine = 1024 if sampling == "counts" else 256
+    # coarse-F counts estimator noisier under rint (RESULTS_r3.md).
+    # F=512 measured equivalent to 1024 at the 200k-draw production scale
+    # on all three instruments (operator logp shift 0.69 vs 0.66, per-eval
+    # noise 1.02 vs 1.01, posterior A/B worst |dz| = 0.12;
+    # tools/counts_f_study.py, tools/counts_f_posterior_ab.py) and +20%
+    # walker-steps/s on TPU.  Below ~100k draws the within-cell rint
+    # granularity is no longer buried under the per-cell count noise
+    # (measured 1.8x mc's per-eval noise at 50k draws/F=512 vs 1.2x at
+    # F=1024), so small-draw runs keep the finer grid.
+    if sampling == "counts":
+        e0_grid_fine = 512 if n_samples >= 100_000 else 1024
+    else:
+        e0_grid_fine = 256
     if fine_grid is not None:
         e0_grid_fine = int(fine_grid)
     if xs_mode == "e0grid" and transport != "table":

@@ -363,9 +363,18 @@ def test_fine_grid_override():
     assert s.e0_grid_table.a_matrix.shape[0] == 4 * 128
     o = onebd.default_spec(n_samples=1000, sampling="counts", fine_grid=256)
     assert o.e0_grid_fine == 256
-    # default untouched
-    assert simult.default_spec(n_samples=1000,
+    # defaults are draw-count aware: the halved grids are measured
+    # equivalent at the 200k-draw production scale (RESULTS_r3.md), but
+    # below ~100k draws the within-cell rint granularity needs the finer
+    # grid (counts noise 1.8x mc at 50k draws/F=512 vs 1.2x at F=1024)
+    assert simult.default_spec(n_samples=200_000,
+                               sampling="counts").e0_grid_fine == 512
+    assert simult.default_spec(n_samples=50_000,
                                sampling="counts").e0_grid_fine == 1024
+    assert onebd.default_spec(n_samples=200_000,
+                              sampling="counts").e0_grid_fine == 1024
+    assert onebd.default_spec(n_samples=50_000,
+                              sampling="counts").e0_grid_fine == 2048
 
 
 def test_fine_grid_cli_flag():
