@@ -275,3 +275,183 @@ def _print_diagnostics(phase: str, chain_path: str) -> None:
         print(f"{phase}: {format_summary(chain_summary(chain))}", flush=True)
     except Exception as e:  # diagnostics must never kill a finished fit
         print(f"{phase}: diagnostics skipped ({e})", flush=True)
+
+
+def add_common_flags(p, refs: dict) -> None:
+    """Flags both flagship CLIs share, defined once so their documented
+    semantics stay in lockstep (the two parsers had begun to drift).
+
+    ``refs`` parameterizes the per-driver reference citations and
+    per-mode defaults quoted in the help strings:
+    ``check_eval`` / ``nthreads`` / ``mpi`` (reference file:line),
+    ``fine_defaults`` (per-mode F defaults string), ``closure_f``
+    (the grid the cell closure's evidence was collected at).
+    """
+    p.add_argument("-debug", choices=[0, 1], default=0, type=int)
+    p.add_argument("-quitEarly", choices=[0, 1], default=0, type=int)
+    p.add_argument("-checkLikelihoodEval", choices=[0, 1], default=0,
+                   type=int,
+                   help="print the per-bin likelihood table + overlay/"
+                        "residual figure at the guess point and exit (the "
+                        "reference's checkLikelihoodEval debug helper, "
+                        f"{refs['check_eval']}, wired to a flag)")
+    p.add_argument("-batch", choices=[0, 1], default=0, type=int,
+                   help="suppress plots")
+    p.add_argument("-forceCustomPDF", choices=[0, 1], default=0, type=int,
+                   help="accepted for surface parity; this build always "
+                        "uses its own skew-normal (ops/pdfs.py), which IS "
+                        "the reference's custom pdf (utilities/pdfs.py)")
+    p.add_argument("-nDrawsPerEval", default=200_000, type=int)
+    p.add_argument("-nBurninSteps", default=400, type=int)
+    p.add_argument("-nMainSteps", default=100, type=int)
+    p.add_argument("-nWalkers", default=256, type=int)
+    p.add_argument("-outputPrefix", default="", type=str)
+    p.add_argument("-seed", default=0, type=int)
+    p.add_argument("-mesh", default=0, type=int,
+                   help="max devices for walker sharding (0 = all)")
+    p.add_argument("-chunkWalkers", default=0, type=int,
+                   help="eval walkers in chunks of this size (memory cap)")
+    p.add_argument("-segment", default=10, type=int,
+                   help="steps per device->host chain flush")
+    p.add_argument("-convergeMain", type=int, choices=[0, 1], nargs="?",
+                   const=1, default=0,
+                   help="treat -nMainSteps as a CAP and stop the main "
+                        "phase early once S >= tauFactor * tau for every "
+                        "parameter with a stable tau estimate (emcee's "
+                        "convergence recipe; the reference hard-codes "
+                        "chain lengths)")
+    p.add_argument("-tauFactor", default=50.0, type=float,
+                   help="chain-length multiple of the integrated "
+                        "autocorrelation time required by -convergeMain")
+    p.add_argument("-move", choices=["stretch", "de", "mixed"],
+                   default="stretch",
+                   help="ensemble proposal: emcee's stretch (default, "
+                        "reference-faithful), differential evolution, or "
+                        "an alternating mix (better ridge mixing: 1.6x / "
+                        "2.9x the min-ESS per step on the two flagships)")
+    p.add_argument("-resume", default="", type=str,
+                   help="resume the MAIN phase from a .ckpt.npz checkpoint "
+                        "(skips burn-in; exact continuation incl. PRNG)")
+    p.add_argument("-gridMode", choices=["e0grid", "taylor"],
+                   default="e0grid",
+                   help="e0grid (default): static e0-space preimage grid "
+                        "(fast; sub-rint approximation, ops/e0grid.py); "
+                        "taylor: per-sample transport + per-slice moments")
+    p.add_argument("-expectedForward", action="store_true",
+                   help="closed-form expected forward model (the exact "
+                        "infinite-draw limit; no pseudo-marginal noise); "
+                        "alias for -sampling expected")
+    p.add_argument("-sampling", choices=["mc", "counts", "expected"],
+                   default="mc",
+                   help="mc: faithful per-sample Monte Carlo (reference "
+                        "semantics); counts: Poissonized Rao-Blackwell MC "
+                        "— same unbiased estimator at equal-or-lower "
+                        "per-eval noise, O(F) cost (recommended for "
+                        "production MC); expected: closed-form limit")
+    p.add_argument("-likelihood", choices=["reference", "poisson"],
+                   default="reference",
+                   help="reference: the faithful int()-cast form, whose "
+                        "sawtooth IS the dominant pseudo-marginal noise "
+                        "(sigma~7e4 measured); poisson: correct Poisson "
+                        "logpmf (sigma~2) — recommended for production")
+    p.add_argument("-momentClosure", choices=["exact", "cell"],
+                   default="exact",
+                   help="counts/expected forward only — exact: full 4-row "
+                        "ndtr partial-moment chain; cell: 2-row chain + "
+                        "analytic within-cell closure for the t^2/t^3 "
+                        "channels (error ~f32 rounding at "
+                        f"{refs['closure_f']}, half the transcendental "
+                        "cost; ops/e0grid.py)")
+    p.add_argument("-fineGrid", default=0, type=int,
+                   help="override the e0-preimage fine-grid size F "
+                        f"(default: per-mode — {refs['fine_defaults']}).  "
+                        "Pure throughput/fidelity knob; the posterior-"
+                        "level logp shift is <0.06 sigma for any F >= 512 "
+                        "and the halved counts grids pass posterior A/B "
+                        "at |dz| <= 0.12 (RESULTS_r3.md)")
+    p.add_argument("-nThreads", default=0, type=int,
+                   help="accepted for surface parity and ignored: walker "
+                        "parallelism is a device-mesh array axis here, not "
+                        f"a process pool (reference {refs['nthreads']})")
+    p.add_argument("-mpi", default=0, type=int,
+                   help="accepted for surface parity and ignored: the MPI "
+                        "pool is replaced by jax.distributed + mesh "
+                        f"sharding (reference {refs['mpi']})")
+    p.add_argument("-profile", default="", type=str, metavar="DIR",
+                   help="capture a jax.profiler device trace of the "
+                        "sampling phases into DIR (TensorBoard-compatible; "
+                        "utils/profiling.py).  The reference has no "
+                        "profiler at all (SURVEY.md §5)")
+    p.add_argument("-prng", choices=["threefry2x32", "rbg"], default=None,
+                   help="PRNG implementation (default: jax's). rbg uses "
+                        "the TPU's hardware generator; every sampler in "
+                        "the package is impl-agnostic (ops/poisson.py "
+                        "replaces the threefry-only jax.random.poisson). "
+                        "Changes draw streams, not distributions.")
+
+
+def common_setup(args):
+    """Compile cache + PRNG impl selection; returns the jax module."""
+    enable_compile_cache()
+    import jax
+
+    if args.prng:
+        jax.config.update("jax_default_prng_impl", args.prng)
+    return jax
+
+
+def resolve_sampling(args, closure_fine: int):
+    """(sampling, fine_grid) from the flag triplet.
+
+    When the cell closure is requested without an explicit -fineGrid,
+    keep the finer grid its accuracy/parity evidence was collected at —
+    the closure's O(h^5) within-cell residual is rounding-limited there
+    but not at the halved counts production defaults
+    (tests/test_e0grid.py::test_cell_closure_matches_oracle_like_exact).
+    """
+    sampling = "expected" if args.expectedForward else args.sampling
+    fine_grid = args.fineGrid or None
+    if (fine_grid is None and args.momentClosure == "cell"
+            and sampling == "counts"):
+        fine_grid = closure_fine
+    return sampling, fine_grid
+
+
+def build_logp_batch(logp, args):
+    """Walker-batch evaluator: sharded over the device mesh when >1
+    device is visible (-mesh caps), vmapped locally otherwise."""
+    import jax
+
+    from ..parallel import make_mesh, make_sharded_logp_batch
+    from ..sampler import make_logp_batch
+
+    devices = jax.devices()
+    if args.mesh:
+        devices = devices[: args.mesh]
+    chunk = args.chunkWalkers or None
+    if len(devices) > 1:
+        lb = make_sharded_logp_batch(logp, make_mesh(devices), chunk=chunk)
+        print(f"walker axis sharded over {len(devices)} devices")
+        return lb
+    return make_logp_batch(logp, chunk=chunk)
+
+
+def run_phases_profiled(args, state, phases, logp_batch, *, n_walkers,
+                        fingerprint):
+    """run_phases under an optional jax.profiler trace (-profile DIR)."""
+    import contextlib
+
+    from ..utils import profiling
+
+    prof = (profiling.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
+    with prof:
+        out = run_phases(
+            state, phases, logp_batch, n_walkers=n_walkers,
+            segment=args.segment, prefix=args.outputPrefix,
+            fingerprint=fingerprint,
+            adaptive_phase="main" if args.convergeMain else None,
+            tau_factor=args.tauFactor, move=args.move)
+    if args.profile:
+        print(f"profiler trace written to {args.profile}")
+    return out
