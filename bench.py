@@ -95,6 +95,11 @@ def measure_tpu(sampling: str = "counts") -> tuple[float, float, int]:
     if hist_chunk:
         import dataclasses
         spec = dataclasses.replace(spec, histogram_chunk=hist_chunk)
+    # radix-factorized TOF-synthesis one-hot (ForwardSpec.tof_hist_radix)
+    tof_radix = int(os.environ.get("BENCH_TOF_RADIX", "0"))
+    if tof_radix:
+        import dataclasses
+        spec = dataclasses.replace(spec, tof_hist_radix=tof_radix)
     fine = int(os.environ.get("BENCH_FINE", "0"))
     if fine and spec.xs_mode == "e0grid":
         import dataclasses
@@ -269,6 +274,7 @@ def _is_default_config() -> bool:
                 or os.environ.get("BENCH_WALKERS")
                 or os.environ.get("BENCH_FINE")
                 or os.environ.get("BENCH_HIST_CHUNK")
+                or os.environ.get("BENCH_TOF_RADIX")
                 or XS_MODE != "e0grid")
 
 

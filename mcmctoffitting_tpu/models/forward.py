@@ -172,6 +172,17 @@ class ForwardSpec:
     # (the channel expansion + relayout outweighs the compare savings:
     # 95.8/215 ms vs 69.9 ms base at L=8/16) — kept for the record.
     moment_radix: int = 0
+    # radix factorization of the TOF-synthesis histogram one-hot
+    # (ops/histogram._scan_onehot): 0 = direct (n_bins compares/sample);
+    # L > 0 factorizes idx = q*L + r into two small one-hots (L + ceil(
+    # n_bins/L) compares/sample, ~4x fewer at the 45-70-bin TOF windows).
+    # Exact (same bf16 weight rounding class as the direct path).  The
+    # counts estimator collapsed the per-sample stages, leaving this
+    # VPU-compare-bound histogram as a visible share of the step — unlike
+    # moment_radix (4-channel expansion, measured slower), the single-
+    # channel TOF histogram keeps the compare savings.  Measured knob;
+    # see BENCH_TOF_RADIX / RESULTS_r3.md before changing the default.
+    tof_hist_radix: int = 0
     # run-axis execution in tof_spectra_multi: 'batched' vmaps the run
     # axis through draw+grid (round-1 win), 'sequential' lax.maps it —
     # the per-(walker, run) working set at 200k draws pushes the batched
@@ -588,7 +599,8 @@ def tof_spectrum(key, params, spec: ForwardSpec, standoff: float,
 
     hist = weighted_histogram(values.reshape(-1), window.lo, window.hi,
                               window.n_bins, weights.reshape(-1),
-                              chunk=spec.histogram_chunk)
+                              chunk=spec.histogram_chunk,
+                              radix=spec.tof_hist_radix)
     if get_pdf:
         hist = histogram_density(hist, window.lo, window.hi)
 
@@ -671,7 +683,8 @@ def tof_spectra_multi(run_keys, params, spec: ForwardSpec,
 
     hist = weighted_histogram_multi_window(
         values.reshape(n_runs, -1), windows, weights.reshape(n_runs, -1),
-        chunk=spec.histogram_chunk)                       # (R, n_pad)
+        chunk=spec.histogram_chunk,
+        radix=spec.tof_hist_radix)                        # (R, n_pad)
     if get_pdf:
         bin_widths = np.asarray([(w.hi - w.lo) / w.n_bins for w in windows],
                                 np.float32)[:, None]

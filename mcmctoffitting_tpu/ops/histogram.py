@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _scan_onehot(idx, w, n_bins: int, chunk: int):
+def _scan_onehot(idx, w, n_bins: int, chunk: int, radix: int = 0):
     """Chunked one-hot contraction: (..., N) indices + weights ->
     (..., n_bins) histogram.  Shared engine of the histogram ops.
 
@@ -29,7 +29,20 @@ def _scan_onehot(idx, w, n_bins: int, chunk: int):
     weights are rounded (~0.4% relative), far below the Monte-Carlo noise
     of the sampled spectra, and 'highest' would multiply MXU passes ~6x.
     Deterministic keV-scale lookups must NOT use this path (see
-    StoppingTable.eval_stopped, which pins precision='highest')."""
+    StoppingTable.eval_stopped, which pins precision='highest').
+
+    ``radix`` L > 0 factorizes the one-hot: idx = q * L + r, and the
+    histogram becomes the (..., Q, L) outer contraction of two SMALL
+    one-hots (oh_q: Q = ceil(n_bins/L) compares/sample, oh_r: L
+    compares/sample) instead of one n_bins-wide block — the VPU compare /
+    materialization cost per sample drops from n_bins to L + Q (~4x at
+    n_bins = 70, L = 8).  Exact: each sample hits exactly one (q, r)
+    cell, and the weight enters one bf16-rounded product exactly as in
+    the direct path.  This is the single-channel sibling of
+    ``ForwardSpec.moment_radix`` — THERE the 4-channel expansion made it
+    measurably slower; the plain TOF-synthesis histogram has one channel,
+    where the compare savings survive (measured knob, see
+    ForwardSpec.tof_hist_radix)."""
     n = idx.shape[-1]
     chunk = min(chunk, n)
     n_chunks = -(-n // chunk)
@@ -43,6 +56,31 @@ def _scan_onehot(idx, w, n_bins: int, chunk: int):
     idx_c = jnp.moveaxis(
         idx.reshape(idx.shape[:-1] + (n_chunks, chunk)), -2, 0)
     w_c = jnp.moveaxis(w.reshape(w.shape[:-1] + (n_chunks, chunk)), -2, 0)
+
+    if radix:
+        n_q = -(-n_bins // radix)
+        qs = jnp.arange(n_q, dtype=jnp.int32)
+        rs = jnp.arange(radix, dtype=jnp.int32)
+
+        def body(acc, inputs):
+            i_blk, w_blk = inputs                        # (..., chunk)
+            q, r = jnp.divmod(i_blk, radix)
+            oh_r = (r[..., None] == rs).astype(w_blk.dtype)   # (..., c, L)
+            oh_q = (q[..., None] == qs).astype(w_blk.dtype)   # (..., c, Q)
+            a = oh_q * w_blk[..., None]                       # (..., c, Q)
+            batch_nd = i_blk.ndim - 1
+            # contract the chunk axis: (..., Q, L)
+            contrib = jax.lax.dot_general(
+                jnp.swapaxes(a, -1, -2), oh_r,
+                dimension_numbers=(((a.ndim - 1,), (oh_r.ndim - 2,)),
+                                   (tuple(range(batch_nd)),
+                                    tuple(range(batch_nd)))),
+                preferred_element_type=jnp.float32)
+            return acc + contrib, None
+
+        acc0 = jnp.zeros(idx.shape[:-1] + (n_q, radix), jnp.float32)
+        out, _ = jax.lax.scan(body, acc0, (idx_c, w_c))
+        return out.reshape(idx.shape[:-1] + (n_q * radix,))[..., :n_bins]
 
     bins = jnp.arange(n_bins, dtype=jnp.int32)
 
@@ -75,7 +113,7 @@ def bin_index(values, lo: float, hi: float, n_bins: int):
 
 def weighted_histogram(values, lo: float, hi: float, n_bins: int,
                        weights=None, *, chunk: int = 8192,
-                       method: str = "onehot"):
+                       method: str = "onehot", radix: int = 0):
     """Weighted histogram over the trailing axis.
 
     Args:
@@ -84,6 +122,8 @@ def weighted_histogram(values, lo: float, hi: float, n_bins: int,
       chunk: static chunk length for the scanned one-hot matmul.
       method: 'onehot' (MXU matmul, default) or 'scatter' (XLA scatter-add,
         kept for cross-checking and CPU testing).
+      radix: 0 = direct one-hot; L > 0 = factorized one-hot (see
+        ``_scan_onehot``).
 
     Returns: (..., n_bins) float32 histogram.
     """
@@ -105,11 +145,11 @@ def weighted_histogram(values, lo: float, hi: float, n_bins: int,
         )(idx2, w2)
         return out.reshape(v.shape[:-1] + (n_bins,))
 
-    return _scan_onehot(idx, w, n_bins, chunk)
+    return _scan_onehot(idx, w, n_bins, chunk, radix)
 
 
 def weighted_histogram_multi_window(values, windows, weights, *,
-                                    chunk: int = 8192):
+                                    chunk: int = 8192, radix: int = 0):
     """Per-window histograms over heterogeneous STATIC windows in one pass.
 
     The joint fits bin each run against its own TOF window (different
@@ -137,7 +177,7 @@ def weighted_histogram_multi_window(values, windows, weights, *,
     idx = jnp.minimum(idx, nb1)
     in_range = (v >= los) & (v <= his)
     w_ = jnp.where(in_range, w_, 0.0)
-    return _scan_onehot(idx, w_, n_pad, chunk)
+    return _scan_onehot(idx, w_, n_pad, chunk, radix)
 
 
 def delta_moment_histogram(values, lo: float, hi: float, n_bins: int,

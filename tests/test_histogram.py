@@ -133,3 +133,72 @@ def test_multi_window_matches_per_run_np_histogram():
         np.testing.assert_allclose(got[r, : win.n_bins], want, rtol=1e-5,
                                    atol=1e-4)
         np.testing.assert_array_equal(got[r, win.n_bins:], 0.0)
+
+
+@pytest.mark.parametrize("radix", [4, 8, 16])
+def test_radix_factorization_matches_direct(radix):
+    """The idx = q*L + r factorized one-hot (ForwardSpec.tof_hist_radix)
+    is the same histogram: each sample hits exactly one (q, r) cell, so
+    only the f32 summation tree differs from the direct path."""
+    rng = np.random.default_rng(31)
+    vals = rng.uniform(-1.0, 11.0, 5003).astype(np.float32)
+    w = rng.uniform(0.0, 3.0, 5003).astype(np.float32)
+    # 25 bins: not divisible by any of the radices (exercises the
+    # ceil(n/L) padding + final slice)
+    direct = np.asarray(weighted_histogram(vals, 0.0, 10.0, 25, w,
+                                           chunk=512))
+    fact = np.asarray(weighted_histogram(vals, 0.0, 10.0, 25, w,
+                                         chunk=512, radix=radix))
+    np.testing.assert_allclose(fact, direct, rtol=2e-6, atol=1e-3)
+    want, _ = np.histogram(vals, bins=25, range=(0.0, 10.0), weights=w)
+    np.testing.assert_allclose(fact, want.astype(np.float32), rtol=2e-5,
+                               atol=1e-3)
+
+
+def test_radix_multi_window_and_batched():
+    """Radix engine under the multi-window padded path + leading batch
+    dims (the actual TOF-synthesis shape: walkers x runs x samples)."""
+    from mcmctoffitting_tpu.constants import TofWindow
+    from mcmctoffitting_tpu.ops.histogram import (
+        weighted_histogram_multi_window)
+    windows = (TofWindow(130.0, 175.0, 45), TofWindow(190.0, 260.0, 70))
+    rng = np.random.default_rng(12)
+    v = rng.uniform(100.0, 280.0, (2, 600)).astype(np.float32)
+    v[:, 0] = [w.hi for w in windows]          # hi-edge -> last true bin
+    w_ = rng.uniform(0.0, 5.0, (2, 600)).astype(np.float32)
+    direct = np.asarray(weighted_histogram_multi_window(v, windows, w_,
+                                                        chunk=128))
+    fact = np.asarray(weighted_histogram_multi_window(v, windows, w_,
+                                                      chunk=128, radix=8))
+    np.testing.assert_allclose(fact, direct, rtol=2e-6, atol=1e-4)
+    np.testing.assert_array_equal(fact[0, 45:], 0.0)   # padding stays zero
+
+    # leading batch dims through weighted_histogram
+    vb = rng.uniform(0, 1, (3, 2, 257)).astype(np.float32)
+    wb = rng.uniform(0, 1, (3, 2, 257)).astype(np.float32)
+    d = np.asarray(weighted_histogram(vb, 0.0, 1.0, 16, wb, chunk=64))
+    f = np.asarray(weighted_histogram(vb, 0.0, 1.0, 16, wb, chunk=64,
+                                      radix=8))
+    np.testing.assert_allclose(f, d, rtol=2e-6, atol=1e-4)
+
+
+def test_tof_hist_radix_spec_knob():
+    """tof_spectrum under tof_hist_radix reproduces the default spectrum
+    (same draws, same lattice; only the histogram engine changes)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mcmctoffitting_tpu.models import simult
+    from mcmctoffitting_tpu.models.forward import tof_spectrum
+
+    spec = simult.default_spec(n_samples=2000)
+    problem = simult.SimultFitProblem(spec, n_runs=1)
+    theta = jnp.asarray([1878.4, 850.0, 170.0, 0.5], jnp.float32)
+    key = jax.random.PRNGKey(7)
+    base = np.asarray(tof_spectrum(key, theta, spec, problem.standoffs[0],
+                                   problem.windows[0], get_pdf=True))
+    spec_r = dataclasses.replace(spec, tof_hist_radix=8)
+    got = np.asarray(tof_spectrum(key, theta, spec_r, problem.standoffs[0],
+                                  problem.windows[0], get_pdf=True))
+    np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-7)
