@@ -100,6 +100,13 @@ def measure_tpu(sampling: str = "counts") -> tuple[float, float, int]:
     if tof_radix:
         import dataclasses
         spec = dataclasses.replace(spec, tof_hist_radix=tof_radix)
+    # run-axis A/B (ForwardSpec.run_axis: 'sequential' preset default /
+    # 'batched'); the landscape shifted with PTRS + halved grids, so the
+    # round-2 sequential verdict is re-measurable
+    run_axis = os.environ.get("BENCH_RUN_AXIS", "")
+    if run_axis:
+        import dataclasses
+        spec = dataclasses.replace(spec, run_axis=run_axis)
     fine = int(os.environ.get("BENCH_FINE", "0"))
     if fine and spec.xs_mode == "e0grid":
         import dataclasses
@@ -275,6 +282,7 @@ def _is_default_config() -> bool:
                 or os.environ.get("BENCH_FINE")
                 or os.environ.get("BENCH_HIST_CHUNK")
                 or os.environ.get("BENCH_TOF_RADIX")
+                or os.environ.get("BENCH_RUN_AXIS")
                 or XS_MODE != "e0grid")
 
 

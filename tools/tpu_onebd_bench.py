@@ -54,12 +54,21 @@ def main():
     closure = _arg("--closure", "exact", str)
     if closure != "exact":
         label += f"+{closure}"
+    tof_radix = _arg("--tof-radix", 0)
+    if tof_radix:
+        label += f"+radix{tof_radix}"
+    run_axis = _arg("--run-axis", "", str)
+    if run_axis:
+        label += f"+{run_axis}"
 
     spec = onebd.default_spec(n_samples=n_draws, hardcore=hardcore,
                               xs_mode=xs_mode, sampling=sampling)
-    if closure != "exact":
+    if closure != "exact" or tof_radix or run_axis:
         import dataclasses
-        spec = dataclasses.replace(spec, moment_closure=closure)
+        spec = dataclasses.replace(
+            spec, moment_closure=closure,
+            tof_hist_radix=tof_radix or spec.tof_hist_radix,
+            run_axis=run_axis or spec.run_axis)
     if "--fine" in sys.argv or "--hchunk" in sys.argv:
         import dataclasses
         from mcmctoffitting_tpu.ops.e0grid import cached_e0_grid_table
