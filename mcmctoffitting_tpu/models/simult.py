@@ -129,7 +129,19 @@ def default_spec(n_samples: int = 200_000, *,
         # too: batching the run axis LOSES (26.4k vs 33.4k walker-steps/s
         # at the flagship config) — the (4F)x(M*Be) A contraction batched
         # over runs thrashes where the sequential program reuses it.
+        # RE-measured post-PTRS at the halved F=512 grid (out/tpu_ab_r3b,
+        # 2026-08-18): still loses, 47,063 vs 52,264 (oneBD: 36,776 vs
+        # 51,558) — the verdict survives both estimator rewrites.
         run_axis="sequential",
+        # radix-factorized TOF-synthesis one-hot: the simult-era 10-segment
+        # zero-degree spread expands the TOF histogram to M*Be*K = 80k
+        # values per run, making its one-hot the compare-bound stage once
+        # counts mode collapsed the per-sample work.  Same-session TPU A/B
+        # (out/tpu_ab_r3b, 2026-08-18): 54,273 (L=16) / 53,616 (L=8) vs
+        # 52,264 direct walker-steps/s.  Exact semantics (same bf16 weight
+        # rounding class).  oneBD keeps 0: its 25-bin expo-kernel windows
+        # measured a wash (51,669 vs 51,558).
+        tof_hist_radix=16,
         n_samples=n_samples,
         # one-hot block peak memory scales as walker_chunk * n_runs * x_bins
         # * histogram_chunk * eD_bins; 4096 keeps the fully batched joint
