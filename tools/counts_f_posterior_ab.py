@@ -11,8 +11,12 @@ Chain config mirrors the ess-per-step study (64 walkers, 300 burn-in +
 900 main, 50k draws, corrected likelihood) — lengths at which the
 parity studies measured converged medians.
 
-Usage: python tools/counts_f_posterior_ab.py [--onebd]
-Writes out/counts_f_posterior_ab_{simult,onebd}.json.
+Usage: python tools/counts_f_posterior_ab.py [--onebd] [--closure-ab]
+Writes out/counts_f_posterior_ab_{simult,onebd}[_closure].json.
+
+--closure-ab holds F at the production default and A/Bs the MOMENT
+CLOSURE instead (cell vs exact): the posterior-level instrument for
+running `-momentClosure cell` at the halved production grids.
 """
 import dataclasses
 import json
@@ -62,15 +66,24 @@ def main():
         f_pair = (512, 1024)
         tag = "simult"
 
+    closure_ab = "--closure-ab" in sys.argv
+    if closure_ab:
+        # hold F at the production default; A/B the closure itself
+        f_def = base.e0_grid_fine
+        ab_pair = (("cell", f_def), ("exact", f_def))
+    else:
+        ab_pair = (("exact", f_pair[0]), ("exact", f_pair[1]))
+
     key = jax.random.PRNGKey(0)
     problem0 = make_problem(base)
     observed = data_io.synthesize_observed(jax.random.fold_in(key, 99),
                                            problem0, truth)
 
-    def run_at(f):
+    def run_at(f, closure="exact"):
         tab = cached_e0_grid_table(base.stopping_table, base.ed_binning,
                                    ddn_xs_uniform, f)
-        spec = dataclasses.replace(base, e0_grid_fine=f, e0_grid_table=tab)
+        spec = dataclasses.replace(base, e0_grid_fine=f, e0_grid_table=tab,
+                                   moment_closure=closure)
         problem = make_problem(spec)
         lb = make_logp_batch(problem.make_log_prob_fn(observed))
         p0 = problem.initial_walkers_from_observed(
@@ -83,16 +96,19 @@ def main():
         flat = np.asarray(chain.positions).reshape(-1, len(names))
         acc = float(np.sum(np.asarray(chain.n_accepted))) / (
             N_MAIN * N_WALKERS)
-        print(f"F={f}: {N_BURNIN}+{N_MAIN} steps in {time.time()-t0:.0f}s, "
-              f"acc {acc:.2f}", flush=True)
+        print(f"F={f}/{closure}: {N_BURNIN}+{N_MAIN} steps in "
+              f"{time.time()-t0:.0f}s, acc {acc:.2f}", flush=True)
         return flat, acc
 
-    flat_a, acc_a = run_at(f_pair[0])
-    flat_b, acc_b = run_at(f_pair[1])
+    (clo_a, f_a), (clo_b, f_b) = ab_pair
+    flat_a, acc_a = run_at(f_a, clo_a)
+    flat_b, acc_b = run_at(f_b, clo_b)
 
+    lab_a = f"F{f_a}" + ("/cell" if clo_a == "cell" else "")
+    lab_b = f"F{f_b}" + ("/cell" if clo_b == "cell" else "")
     rows, worst = [], 0.0
-    print(f"{'param':>8} {'F'+str(f_pair[0])+' med':>12} "
-          f"{'F'+str(f_pair[1])+' med':>12} {'dz':>7}")
+    print(f"{'param':>8} {lab_a + ' med':>14} {lab_b + ' med':>14} "
+          f"{'dz':>7}")
     for d, name in enumerate(names):
         ma, mb = np.median(flat_a[:, d]), np.median(flat_b[:, d])
         sig = np.sqrt(0.5 * (flat_a[:, d].std() ** 2
@@ -105,9 +121,11 @@ def main():
     verdict = "PASS" if worst < 1.0 else "FAIL"
     print(f"worst |dz| = {worst:.2f} -> {verdict}")
     os.makedirs("out", exist_ok=True)
-    path = f"out/counts_f_posterior_ab_{tag}.json"
+    path = (f"out/counts_f_posterior_ab_{tag}_closure.json" if closure_ab
+            else f"out/counts_f_posterior_ab_{tag}.json")
     with open(path, "w") as fj:
-        json.dump({"f_pair": f_pair, "acc": [acc_a, acc_b], "rows": rows,
+        json.dump({"ab_pair": [list(p) for p in ab_pair],
+                   "acc": [acc_a, acc_b], "rows": rows,
                    "worst_abs_dz": worst, "verdict": verdict}, fj, indent=1)
     print(f"written {path}")
 

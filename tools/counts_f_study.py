@@ -17,7 +17,14 @@ Two instruments per flagship, both sampler-free:
    config).
 
 Usage: JAX_PLATFORMS=cpu python tools/counts_f_study.py [--onebd]
-Writes out/counts_f_study_{simult,onebd}.json.
+           [--closure cell]
+Writes out/counts_f_study_{simult,onebd}[_cell].json.
+
+--closure cell runs BOTH instruments with the 2-row moment closure at
+every candidate F while the reference stays exact@4096 — the deltas then
+measure the TOTAL operator deviation (closure residual + grid error) of
+the cell configuration, which is what gates dropping the CLI's
+keep-the-finer-grid guard for the closure.
 """
 import dataclasses
 import json
@@ -42,6 +49,9 @@ from mcmctoffitting_tpu.utils import data_io
 
 def main():
     onebd_mode = "--onebd" in sys.argv
+    closure = "cell" if ("--closure" in sys.argv and
+                         sys.argv[sys.argv.index("--closure") + 1] == "cell"
+                         ) else "exact"
     n_thetas = 192
     fs = (256, 512, 1024) if not onebd_mode else (512, 1024, 2048)
     f_ref = 4096
@@ -68,11 +78,12 @@ def main():
     observed = data_io.synthesize_observed(jax.random.fold_in(key, 99),
                                            problem0, truth)
 
-    def spec_at(f, sampling):
+    def spec_at(f, sampling, clo=None):
         tab = cached_e0_grid_table(base.stopping_table, base.ed_binning,
                                    ddn_xs_uniform, f)
         return dataclasses.replace(base, e0_grid_fine=f, e0_grid_table=tab,
-                                   sampling=sampling)
+                                   sampling=sampling,
+                                   moment_closure=clo or closure)
 
     # posterior-typical thetas: short counts-mode fit at the current default
     problem = make_problem(base)
@@ -90,11 +101,13 @@ def main():
     thetas = jnp.asarray(flat[idx], jnp.float32)
     fixed_keys = jax.random.split(jax.random.PRNGKey(7), n_thetas)
 
-    # instrument 1: deterministic operator shift (expected forward)
+    # instrument 1: deterministic operator shift (expected forward);
+    # the f_ref reference is ALWAYS the exact closure
     logps = {}
     for f in fs + (f_ref,):
         t0 = time.time()
-        prob_f = make_problem(spec_at(f, "expected"))
+        prob_f = make_problem(spec_at(
+            f, "expected", clo="exact" if f == f_ref else None))
         lb = make_logp_batch(prob_f.make_log_prob_fn(observed), chunk=32)
         logps[f] = np.asarray(lb(thetas, fixed_keys), np.float64)
         print(f"shift F={f}: {n_thetas} logp evals in "
@@ -112,6 +125,7 @@ def main():
         print(f"noise F={f}: per-eval logp std {noise[f]:.3f}", flush=True)
 
     out = {"model": tag, "n_thetas": n_thetas, "f_ref": f_ref,
+           "closure": closure,
            "deltas": {}, "noise_std": {str(f): noise[f] for f in fs}}
     print(f"{'F':>6} {'std(delta)':>11} {'max|delta-mean|':>16} "
           f"{'noise std':>10}")
@@ -125,7 +139,8 @@ def main():
         print(f"{f:>6} {d.std():11.4f} {np.abs(dc).max():16.4f} "
               f"{noise[f]:10.3f}")
     os.makedirs("out", exist_ok=True)
-    path = f"out/counts_f_study_{tag}.json"
+    path = (f"out/counts_f_study_{tag}.json" if closure == "exact"
+            else f"out/counts_f_study_{tag}_cell.json")
     with open(path, "w") as fj:
         json.dump(out, fj, indent=1)
     print(f"written {path}")
