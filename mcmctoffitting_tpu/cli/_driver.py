@@ -284,8 +284,7 @@ def add_common_flags(p, refs: dict) -> None:
     ``refs`` parameterizes the per-driver reference citations and
     per-mode defaults quoted in the help strings:
     ``check_eval`` / ``nthreads`` / ``mpi`` (reference file:line),
-    ``fine_defaults`` (per-mode F defaults string), ``closure_f``
-    (the grid the cell closure's evidence was collected at).
+    ``fine_defaults`` (per-mode F defaults string).
     """
     p.add_argument("-debug", choices=[0, 1], default=0, type=int)
     p.add_argument("-quitEarly", choices=[0, 1], default=0, type=int)
@@ -359,9 +358,11 @@ def add_common_flags(p, refs: dict) -> None:
                    help="counts/expected forward only — exact: full 4-row "
                         "ndtr partial-moment chain; cell: 2-row chain + "
                         "analytic within-cell closure for the t^2/t^3 "
-                        "channels (error ~f32 rounding at "
-                        f"{refs['closure_f']}, half the transcendental "
-                        "cost; ops/e0grid.py)")
+                        "channels, at half the transcendental cost "
+                        "(ops/e0grid.py).  Runs at the per-mode default "
+                        "grid; posterior A/B vs exact at the production "
+                        "config passes both flagships "
+                        "(artifacts/counts_f_posterior_ab_*_closure.json)")
     p.add_argument("-fineGrid", default=0, type=int,
                    help="override the e0-preimage fine-grid size F "
                         f"(default: per-mode — {refs['fine_defaults']}).  "
@@ -400,21 +401,22 @@ def common_setup(args):
     return jax
 
 
-def resolve_sampling(args, closure_fine: int):
-    """(sampling, fine_grid) from the flag triplet.
+def resolve_sampling(args, closure_fine: int = 0):
+    """(sampling, fine_grid) from the flag pair.
 
-    When the cell closure is requested without an explicit -fineGrid,
-    keep the finer grid its accuracy/parity evidence was collected at —
-    the closure's O(h^5) within-cell residual is rounding-limited there
-    but not at the halved counts production defaults
-    (tests/test_e0grid.py::test_cell_closure_matches_oracle_like_exact).
+    The cell closure runs at the same per-mode default grids as the
+    exact chain (closure_fine is vestigial and ignored).  History: the
+    closure initially kept the finer grid its first accuracy evidence
+    was collected at; posterior A/Bs at the PRODUCTION configuration
+    (200k draws, halved grids; cell vs exact, only the closure differs)
+    then passed on both flagships — worst |dz| = 0.06 simult / 0.24
+    oneBD (artifacts/counts_f_posterior_ab_*_closure.json) — and the
+    per-eval logp noise matches the exact chain's
+    (tools/counts_f_study.py --closure cell), so the guard was dropped
+    and the closure's measured throughput win applies at the defaults.
     """
     sampling = "expected" if args.expectedForward else args.sampling
-    fine_grid = args.fineGrid or None
-    if (fine_grid is None and args.momentClosure == "cell"
-            and sampling == "counts"):
-        fine_grid = closure_fine
-    return sampling, fine_grid
+    return sampling, args.fineGrid or None
 
 
 def build_logp_batch(logp, args):

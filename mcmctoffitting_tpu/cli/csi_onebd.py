@@ -17,9 +17,6 @@ import numpy as np
 
 from ._driver import add_common_flags
 
-# the grid the cell closure's accuracy/parity evidence was collected at
-_CLOSURE_FINE = 2048
-
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
@@ -49,7 +46,6 @@ def build_parser() -> argparse.ArgumentParser:
         "mpi": "tests/csi_oneBD.py:61",
         "fine_defaults": "512 mc / 1024 hardcore / 1024 counts "
                          "(2048 below 100k draws)",
-        "closure_f": "F=2048",
     })
     return p
 
@@ -81,7 +77,7 @@ def main(argv=None) -> dict:
     burnin_steps = 10 if args.debug else args.nBurninSteps
     main_steps = 10 if args.debug else args.nMainSteps
 
-    sampling, fine_grid = resolve_sampling(args, _CLOSURE_FINE)
+    sampling, fine_grid = resolve_sampling(args)
     spec = onebd.default_spec(
         n_samples=n_draws, hardcore=args.hardcore,
         fine_grid=fine_grid,

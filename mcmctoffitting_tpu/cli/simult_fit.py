@@ -23,10 +23,6 @@ import numpy as np
 
 from ._driver import add_common_flags
 
-# the grid the cell closure's accuracy evidence was collected at
-_CLOSURE_FINE = 1024
-
-
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-nRuns", choices=[1, 2, 3, 4, 5], default=4, type=int)
@@ -37,7 +33,6 @@ def build_parser() -> argparse.ArgumentParser:
         "nthreads": "tests/simultFit.py:46",
         "mpi": "tests/simultFit.py:688-706",
         "fine_defaults": "256 mc / 512 counts (1024 below 100k draws)",
-        "closure_f": "F=1024",
     })
     return p
 
@@ -61,7 +56,7 @@ def main(argv=None) -> dict:
     main_steps = 10 if args.debug else args.nMainSteps
     n_draws = 5000 if args.debug else args.nDrawsPerEval
 
-    sampling, fine_grid = resolve_sampling(args, _CLOSURE_FINE)
+    sampling, fine_grid = resolve_sampling(args)
     spec = simult.default_spec(
         n_samples=n_draws,
         fine_grid=fine_grid,

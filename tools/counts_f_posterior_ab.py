@@ -46,9 +46,13 @@ N_DRAWS = 50_000
 
 def main():
     onebd_mode = "--onebd" in sys.argv
+    # --closure-ab targets the PRODUCTION configuration (200k draws, which
+    # is also what selects the halved default grid); counts-mode cost is
+    # O(F), independent of the draw count, so the chains run just as fast
+    n_draws = 200_000 if "--closure-ab" in sys.argv else N_DRAWS
     if onebd_mode:
         from mcmctoffitting_tpu.models import onebd as m
-        base = m.default_spec(n_samples=N_DRAWS, sampling="counts")
+        base = m.default_spec(n_samples=n_draws, sampling="counts")
         base = dataclasses.replace(base, bg_mode="expected")
         make_problem = lambda sp: m.OneBDProblem(
             sp, n_runs=1, likelihood="poisson")
@@ -58,7 +62,7 @@ def main():
         tag = "onebd"
     else:
         from mcmctoffitting_tpu.models import simult as m
-        base = m.default_spec(n_samples=N_DRAWS, sampling="counts")
+        base = m.default_spec(n_samples=n_draws, sampling="counts")
         make_problem = lambda sp: m.SimultFitProblem(
             sp, n_runs=2, likelihood="poisson")
         truth = np.concatenate([m.GUESS_SHARED, np.full(2, 5.0e4)])
