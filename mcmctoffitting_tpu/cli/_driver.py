@@ -401,11 +401,11 @@ def common_setup(args):
     return jax
 
 
-def resolve_sampling(args, closure_fine: int = 0):
+def resolve_sampling(args):
     """(sampling, fine_grid) from the flag pair.
 
     The cell closure runs at the same per-mode default grids as the
-    exact chain (closure_fine is vestigial and ignored).  History: the
+    exact chain.  History: the
     closure initially kept the finer grid its first accuracy evidence
     was collected at; posterior A/Bs at the PRODUCTION configuration
     (200k draws, halved grids; cell vs exact, only the closure differs)

@@ -183,8 +183,10 @@ def test_radix_multi_window_and_batched():
 
 
 def test_tof_hist_radix_spec_knob():
-    """tof_spectrum under tof_hist_radix reproduces the default spectrum
-    (same draws, same lattice; only the histogram engine changes)."""
+    """tof_spectrum under tof_hist_radix reproduces the direct-engine
+    spectrum (same draws, same lattice; only the histogram engine
+    changes).  The direct path is pinned explicitly — the simult preset
+    now DEFAULTS to radix 16, so both engines are exercised end to end."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -192,13 +194,16 @@ def test_tof_hist_radix_spec_knob():
     from mcmctoffitting_tpu.models import simult
     from mcmctoffitting_tpu.models.forward import tof_spectrum
 
-    spec = simult.default_spec(n_samples=2000)
+    spec0 = simult.default_spec(n_samples=2000)
+    spec = dataclasses.replace(spec0, tof_hist_radix=0)     # direct
     problem = simult.SimultFitProblem(spec, n_runs=1)
     theta = jnp.asarray([1878.4, 850.0, 170.0, 0.5], jnp.float32)
     key = jax.random.PRNGKey(7)
     base = np.asarray(tof_spectrum(key, theta, spec, problem.standoffs[0],
                                    problem.windows[0], get_pdf=True))
-    spec_r = dataclasses.replace(spec, tof_hist_radix=8)
-    got = np.asarray(tof_spectrum(key, theta, spec_r, problem.standoffs[0],
-                                  problem.windows[0], get_pdf=True))
-    np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-7)
+    for radix in (8, 16):
+        spec_r = dataclasses.replace(spec, tof_hist_radix=radix)
+        got = np.asarray(tof_spectrum(key, theta, spec_r,
+                                      problem.standoffs[0],
+                                      problem.windows[0], get_pdf=True))
+        np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-7)

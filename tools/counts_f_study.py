@@ -49,9 +49,13 @@ from mcmctoffitting_tpu.utils import data_io
 
 def main():
     onebd_mode = "--onebd" in sys.argv
-    closure = "cell" if ("--closure" in sys.argv and
-                         sys.argv[sys.argv.index("--closure") + 1] == "cell"
-                         ) else "exact"
+    closure = "exact"
+    if "--closure" in sys.argv:
+        i = sys.argv.index("--closure") + 1
+        val = sys.argv[i] if i < len(sys.argv) else ""
+        if val not in ("exact", "cell"):
+            sys.exit(f"--closure must be 'exact' or 'cell', got {val!r}")
+        closure = val
     n_thetas = 192
     fs = (256, 512, 1024) if not onebd_mode else (512, 1024, 2048)
     f_ref = 4096
