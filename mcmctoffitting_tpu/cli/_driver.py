@@ -216,24 +216,45 @@ def run_phases(state, phases, logp_batch, *, n_walkers: int = 0,
         # spacing (emcee's practice) keeps it near-linear
         done = 0
         phase_accepted = 0.0
+        pending = None   # one segment's un-flushed device outputs
+
+        def flush(pend):
+            # host work for a finished segment: fetch + chain-text append
+            # + progress line.  Called AFTER the next segment has been
+            # dispatched, so this transfer/IO overlaps device compute
+            # (jax dispatch is async; only the np.asarray calls block) —
+            # measured ~0.1 s/segment of tunnel fetch + text IO that the
+            # device no longer waits on.
+            nonlocal phase_accepted
+            positions, log_probs, n_acc, done_s = pend
+            positions = np.asarray(positions)
+            chain_io.append_chain_text(path, positions,
+                                       np.asarray(log_probs))
+            phase_accepted += float(np.sum(np.asarray(n_acc)))
+            rate = (done_s + total_done0) * n_walkers / (time.time() - t0)
+            acc = phase_accepted / (done_s * n_walkers)
+            print(f"{phase}: step {done_s}/{n_steps} "
+                  f"({rate:.1f} walker-steps/s, acc {acc:.2f})", flush=True)
+            if adaptive:
+                pos_acc.append(positions)
+
+        total_done0 = total_steps
         while done < n_steps:
             seg = min(segment, n_steps - done)
             positions, log_probs, n_acc, state = run_segment(state, seg)
-            chain_io.append_chain_text(path, np.asarray(positions),
-                                       np.asarray(log_probs))
-            phase_accepted += float(np.sum(np.asarray(n_acc)))
+            prev, pending = pending, None
             done += seg
             total_steps += seg
-            rate = total_steps * n_walkers / (time.time() - t0)
-            acc = phase_accepted / (done * n_walkers)
-            print(f"{phase}: step {done}/{n_steps} "
-                  f"({rate:.1f} walker-steps/s, acc {acc:.2f})", flush=True)
+            if prev is not None:
+                flush(prev)   # overlaps the segment dispatched above
+            pending = (positions, log_probs, n_acc, done)
             if adaptive:
                 from ..utils.diagnostics import integrated_autocorr_time
 
-                pos_acc.append(np.asarray(positions))
                 if done < next_check:   # too short / between backoff points
                     continue
+                flush(pending)          # the tau check needs this segment
+                pending = None
                 next_check = max(done + seg, int(1.2 * done))
                 tau = integrated_autocorr_time(np.concatenate(pos_acc))
                 tau_max = float(tau.max())
@@ -249,6 +270,8 @@ def run_phases(state, phases, logp_batch, *, n_walkers: int = 0,
                           f"< {100 * tau_rtol:.0f}%)", flush=True)
                     break
                 tau_prev = tau
+        if pending is not None:   # final segment of the phase
+            flush(pending)
         chain_io.save_checkpoint(
             prefix + f"{phase.replace('-', '')}.ckpt.npz", state,
             extra=extra)
