@@ -333,8 +333,13 @@ def add_common_flags(p, refs: dict) -> None:
                    help="max devices for walker sharding (0 = all)")
     p.add_argument("-chunkWalkers", default=0, type=int,
                    help="eval walkers in chunks of this size (memory cap)")
-    p.add_argument("-segment", default=10, type=int,
-                   help="steps per device->host chain flush")
+    p.add_argument("-segment", default=50, type=int,
+                   help="steps per device->host chain flush (each flush "
+                        "costs one dispatch round trip — ~0.1-0.2 s over "
+                        "the TPU tunnel — so 50 amortizes it 5x vs the "
+                        "old 10: full-fit wall 12.9 -> 8.9 s measured; "
+                        "-convergeMain's first tau check sits at "
+                        "8*segment steps)")
     p.add_argument("-convergeMain", type=int, choices=[0, 1], nargs="?",
                    const=1, default=0,
                    help="treat -nMainSteps as a CAP and stop the main "
