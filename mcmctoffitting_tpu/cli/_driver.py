@@ -279,6 +279,126 @@ def run_phases(state, phases, logp_batch, *, n_walkers: int = 0,
     return state, total_steps, time.time() - t0
 
 
+def resolve_gradient_spec(args, spec):
+    """Validate + finalize the spec for ``-sampler nuts|hmc``.
+
+    Gradient-based sampling needs the DIFFERENTIABLE posterior
+    configuration (RESULTS_r2.md cross-validation study): the closed-form
+    expected forward (the MC estimators re-draw per eval), the correct
+    Poisson logpmf (the reference's int()-cast sawtooth has zero gradient
+    a.e.), and ``rint_draws`` off (rint has zero gradient).  The first
+    two are explicit user choices and are REQUIRED rather than silently
+    flipped; rint has no CLI flag and is turned off here with a note.
+    """
+    import sys
+
+    if args.sampler == "ensemble":
+        return spec
+    if not args.expectedForward:
+        sys.exit(f"error: -sampler {args.sampler} requires "
+                 "-expectedForward (the gradient flows only through the "
+                 "closed-form forward; the MC estimators re-draw per eval)")
+    if args.likelihood != "poisson":
+        sys.exit(f"error: -sampler {args.sampler} requires -likelihood "
+                 "poisson (the reference's int()-cast likelihood has zero "
+                 "gradient almost everywhere)")
+    if args.resume:
+        sys.exit(f"error: -resume is not supported with -sampler "
+                 f"{args.sampler} (ensemble checkpoints only)")
+    if spec.bg_mode != "expected" and getattr(args, "deterministicBG",
+                                              True) is False:
+        sys.exit(f"error: -sampler {args.sampler} requires "
+                 "-deterministicBG (the per-eval Poisson background draw "
+                 "is discrete)")
+    import dataclasses
+    print(f"-sampler {args.sampler}: rint draw rounding disabled "
+          "(zero-gradient op; the forward stays the exact closed form)")
+    return dataclasses.replace(spec, rint_draws=False)
+
+
+def run_gradient_sampler(args, problem, observed, *, names):
+    """``-sampler nuts|hmc``: gradient-based sampling of the flagship
+    posterior — beyond the reference, whose MC + sawtooth likelihood has
+    no usable gradient anywhere.  See :func:`resolve_gradient_spec`.
+
+    Chains run in standardized coordinates (the raw parameters span 5+
+    orders of magnitude — the same lesson as utils/optimize's unit-box
+    scaling); NUTS additionally adapts a diagonal metric during warm-up
+    (Stan-style windows, sampler/nuts.py).  The main chain lands in the
+    same emcee-text format as the ensemble path, so plot_chain / ppc /
+    the diagnostics report work unchanged.
+    """
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils import chain_io
+
+    logp_full = problem.make_log_prob_fn(observed)
+    key = jax.random.PRNGKey(args.seed)
+    key0 = jax.random.fold_in(key, 7)   # unused: deterministic likelihood
+    center = jnp.asarray(problem.guess_theta(observed), jnp.float32)
+    # per-parameter scales from the problem's OWN walker-initialization
+    # spread (the reference's guess agitators): box widths are useless
+    # here — the norm boxes span five decades, so (hi-lo)/k standardizes
+    # N to ~1e6-scale units and the chains would start outside the box.
+    # NUTS's warm-up metric refines whatever this misses.
+    cloud = np.asarray(problem.initial_walkers_from_observed(
+        jax.random.fold_in(key, 3), 256, observed))
+    scales = jnp.asarray(np.maximum(cloud.std(axis=0), 1e-6), jnp.float32)
+
+    def logp_u(u):
+        return logp_full(center + scales * u, key0)
+
+    n_warmup = 10 if args.debug else args.nBurninSteps
+    n_steps = 10 if args.debug else args.nMainSteps
+    n_chains = args.nChains
+    # start from the problem's initial-walker law, standardized
+    p0 = (jnp.asarray(cloud[: n_chains], jnp.float32) - center) / scales
+    print(f"{args.sampler}: {n_chains} chains x {n_warmup} warmup "
+          f"+ {n_steps} steps (standardized coordinates)")
+    t0 = time.time()
+    if args.sampler == "nuts":
+        from ..sampler.nuts import nuts_sample
+        chain = nuts_sample(jax.random.fold_in(key, 2), p0, n_steps,
+                            logp_u, n_warmup=n_warmup,
+                            max_depth=args.maxDepth)
+        accept = np.asarray(chain.accept_stat)
+        n_div = int(np.sum(np.asarray(chain.diverging)))
+        extra = (f"nuts: step_size {chain.step_size:.4g}, mean tree depth "
+                 f"{float(np.mean(np.asarray(chain.tree_depth))):.1f}, "
+                 f"divergences {n_div}/{accept.size}")
+    else:
+        from ..sampler.hmc import hmc_sample
+        chain = hmc_sample(jax.random.fold_in(key, 2), p0, n_steps,
+                           logp_u, n_warmup=n_warmup)
+        accept = np.asarray(chain.accept_prob)
+        extra = f"hmc: step_size {chain.step_size:.4g}"
+    positions = (np.asarray(center)
+                 + np.asarray(scales) * np.asarray(chain.positions))
+    elapsed = time.time() - t0
+    print(f"{extra}, mean accept stat {float(accept.mean()):.2f}")
+
+    path = args.outputPrefix + "mainchain.dat"
+    open(path, "w").close()
+    chain_io.append_chain_text(path, positions,
+                               np.asarray(chain.log_probs))
+    _print_diagnostics("main", path)
+
+    flat = positions.reshape(-1, len(names))
+    q = np.percentile(flat, [16, 50, 84], axis=0)
+    print("MCMC result (median +sigma -sigma):")
+    result = {}
+    for d, name in enumerate(names):
+        med, lo_, hi_ = q[1, d], q[1, d] - q[0, d], q[2, d] - q[1, d]
+        print(f"  {name} = {med:.4g} +{hi_:.3g} -{lo_:.3g}")
+        result[name] = [float(med), float(hi_), float(lo_)]
+    rate = n_steps * n_chains / elapsed
+    print(json.dumps({"walker_steps_per_sec": rate, "elapsed_s": elapsed}))
+    return {"quantiles": result, "walker_steps_per_sec": rate}
+
+
 def _print_diagnostics(phase: str, chain_path: str) -> None:
     """End-of-phase convergence report (tau / ESS / split R-hat).
 
@@ -381,6 +501,21 @@ def add_common_flags(p, refs: dict) -> None:
                         "sawtooth IS the dominant pseudo-marginal noise "
                         "(sigma~7e4 measured); poisson: correct Poisson "
                         "logpmf (sigma~2) — recommended for production")
+    p.add_argument("-sampler", choices=["ensemble", "nuts", "hmc"],
+                   default="ensemble",
+                   help="ensemble: Goodman-Weare stretch (reference "
+                        "semantics).  nuts / hmc: GRADIENT-based sampling "
+                        "of the differentiable configuration — requires "
+                        "-expectedForward -likelihood poisson (oneBD also "
+                        "-deterministicBG); impossible in the reference "
+                        "(MC + sawtooth likelihood).  Writes the same "
+                        "chain format")
+    p.add_argument("-nChains", default=4, type=int,
+                   help="parallel chains for -sampler nuts/hmc "
+                        "(vectorized on-device; -nWalkers governs "
+                        "ensemble mode)")
+    p.add_argument("-maxDepth", default=8, type=int,
+                   help="NUTS maximum tree doublings per step")
     p.add_argument("-momentClosure", choices=["exact", "cell"],
                    default="exact",
                    help="counts/expected forward only — exact: full 4-row "

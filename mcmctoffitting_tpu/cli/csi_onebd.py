@@ -87,6 +87,9 @@ def main(argv=None) -> dict:
         spec = dataclasses.replace(spec, bg_mode="expected")
     if args.momentClosure != "exact":
         spec = dataclasses.replace(spec, moment_closure=args.momentClosure)
+    if args.sampler != "ensemble":
+        from ._driver import resolve_gradient_spec
+        spec = resolve_gradient_spec(args, spec)
     problem = onebd.OneBDProblem(spec, n_runs=3,
                                  likelihood=args.likelihood)
 
@@ -125,6 +128,14 @@ def main(argv=None) -> dict:
                                       prefix=args.outputPrefix,
                                       batch=bool(args.batch))
         return {"status": "checkLikelihoodEval", "total_loglike": total}
+
+    if args.sampler != "ensemble":
+        from ._driver import run_gradient_sampler
+        return run_gradient_sampler(
+            args, problem, observed,
+            names=["eLoss", "scale", "s"]
+            + [f"N{i + 1}" for i in range(3)]
+            + [f"BG{i + 1}" for i in range(3)])
 
     logp_batch = build_logp_batch(problem.make_log_prob_fn(observed), args)
 

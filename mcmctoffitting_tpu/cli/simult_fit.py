@@ -65,6 +65,9 @@ def main(argv=None) -> dict:
     if args.momentClosure != "exact":
         import dataclasses
         spec = dataclasses.replace(spec, moment_closure=args.momentClosure)
+    if args.sampler != "ensemble":
+        from ._driver import resolve_gradient_spec
+        spec = resolve_gradient_spec(args, spec)
     problem = simult.SimultFitProblem(spec, n_runs=args.nRuns,
                                       likelihood=args.likelihood)
 
@@ -92,6 +95,13 @@ def main(argv=None) -> dict:
                                       prefix=args.outputPrefix,
                                       batch=bool(args.batch))
         return {"status": "checkLikelihoodEval", "total_loglike": total}
+
+    if args.sampler != "ensemble":
+        from ._driver import run_gradient_sampler
+        return run_gradient_sampler(
+            args, problem, observed,
+            names=["beamE", "eLoss", "scale", "s"]
+            + [f"N{i + 1}" for i in range(args.nRuns)])
 
     logp_batch = build_logp_batch(problem.make_log_prob_fn(observed), args)
 

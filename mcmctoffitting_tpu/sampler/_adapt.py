@@ -34,6 +34,12 @@ def dual_averaging_warmup(key, state, one_step: Callable, n_warmup: int,
         state, log_eps, log_eps_bar, h_bar = carry
         k = jax.random.fold_in(key, i)
         state, alpha = one_step(state, jnp.exp(log_eps), k)
+        # a divergent trajectory can overflow positions -> NaN Hamiltonian
+        # -> NaN acceptance statistic; score it as alpha = 0 (Stan's
+        # convention) so the step size shrinks instead of the whole
+        # adaptation going NaN (observed on the oneBD posterior, whose
+        # reference guess point starts far from the mode with |grad|~1e4)
+        alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
         a = jnp.mean(alpha)
         t = i.astype(jnp.float32) + 1.0
         frac = 1.0 / (t + _T0)
