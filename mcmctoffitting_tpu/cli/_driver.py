@@ -210,10 +210,14 @@ def run_phases(state, phases, logp_batch, *, n_walkers: int = 0,
         adaptive = phase == adaptive_phase
         pos_acc: list[np.ndarray] = []
         tau_prev = None
-        next_check = 8 * segment   # geometric backoff: the full-history
-        # FFT tau estimate is O(S log S), so re-estimating every segment
-        # would cost O(S^2 log S) over a long run; checking at 1.2x
-        # spacing (emcee's practice) keeps it near-linear
+        # first tau check after a fixed ~80-step warmup (tau estimates
+        # below that are unstable), NOT tied to the flush segment size —
+        # the segment default moved 10 -> 50 and 8*segment would push the
+        # first check past the default -nMainSteps 100 cap entirely.
+        # Geometric 1.2x backoff after that: the full-history FFT tau
+        # estimate is O(S log S), so re-estimating every segment would
+        # cost O(S^2 log S) over a long run (emcee's practice).
+        next_check = max(80, 2 * segment)
         done = 0
         phase_accepted = 0.0
         pending = None   # one segment's un-flushed device outputs
@@ -239,39 +243,47 @@ def run_phases(state, phases, logp_batch, *, n_walkers: int = 0,
                 pos_acc.append(positions)
 
         total_done0 = total_steps
-        while done < n_steps:
-            seg = min(segment, n_steps - done)
-            positions, log_probs, n_acc, state = run_segment(state, seg)
-            prev, pending = pending, None
-            done += seg
-            total_steps += seg
-            if prev is not None:
-                flush(prev)   # overlaps the segment dispatched above
-            pending = (positions, log_probs, n_acc, done)
-            if adaptive:
-                from ..utils.diagnostics import integrated_autocorr_time
+        # the finally guarantees a fully computed segment is never lost:
+        # the pipelined order defers segment k's write past segment k+1's
+        # dispatch, so an interrupt mid-run must still persist the pending
+        # results (the pre-pipelining code flushed synchronously)
+        try:
+            while done < n_steps:
+                seg = min(segment, n_steps - done)
+                positions, log_probs, n_acc, state = run_segment(state, seg)
+                prev, pending = pending, None
+                done += seg
+                total_steps += seg
+                if prev is not None:
+                    flush(prev)   # overlaps the segment dispatched above
+                pending = (positions, log_probs, n_acc, done)
+                if adaptive:
+                    from ..utils.diagnostics import \
+                        integrated_autocorr_time
 
-                if done < next_check:   # too short / between backoff points
-                    continue
-                flush(pending)          # the tau check needs this segment
+                    if done < next_check:   # between backoff points
+                        continue
+                    flush(pending)      # the tau check needs this segment
+                    pending = None
+                    next_check = max(done + seg, int(1.2 * done))
+                    tau = integrated_autocorr_time(np.concatenate(pos_acc))
+                    tau_max = float(tau.max())
+                    stable = tau_prev is not None and bool(
+                        np.all(np.abs(tau - tau_prev) <= tau_rtol * tau))
+                    print(f"{phase}: tau_max {tau_max:.1f} "
+                          f"(S/tau {done / tau_max:.1f}, need "
+                          f">= {tau_factor:.0f}"
+                          f"{', tau stable' if stable else ''})", flush=True)
+                    if done >= tau_factor * tau_max and stable:
+                        print(f"{phase}: converged at step {done} "
+                              f"(S >= {tau_factor:.0f} tau and tau drift "
+                              f"< {100 * tau_rtol:.0f}%)", flush=True)
+                        break
+                    tau_prev = tau
+        finally:
+            if pending is not None:   # final or interrupted segment
+                flush(pending)
                 pending = None
-                next_check = max(done + seg, int(1.2 * done))
-                tau = integrated_autocorr_time(np.concatenate(pos_acc))
-                tau_max = float(tau.max())
-                stable = tau_prev is not None and bool(
-                    np.all(np.abs(tau - tau_prev) <= tau_rtol * tau))
-                print(f"{phase}: tau_max {tau_max:.1f} "
-                      f"(S/tau {done / tau_max:.1f}, need "
-                      f">= {tau_factor:.0f}"
-                      f"{', tau stable' if stable else ''})", flush=True)
-                if done >= tau_factor * tau_max and stable:
-                    print(f"{phase}: converged at step {done} "
-                          f"(S >= {tau_factor:.0f} tau and tau drift "
-                          f"< {100 * tau_rtol:.0f}%)", flush=True)
-                    break
-                tau_prev = tau
-        if pending is not None:   # final segment of the phase
-            flush(pending)
         chain_io.save_checkpoint(
             prefix + f"{phase.replace('-', '')}.ckpt.npz", state,
             extra=extra)
@@ -294,10 +306,11 @@ def resolve_gradient_spec(args, spec):
 
     if args.sampler == "ensemble":
         return spec
-    if not args.expectedForward:
-        sys.exit(f"error: -sampler {args.sampler} requires "
-                 "-expectedForward (the gradient flows only through the "
-                 "closed-form forward; the MC estimators re-draw per eval)")
+    if spec.sampling != "expected":
+        sys.exit(f"error: -sampler {args.sampler} requires the closed-form "
+                 "forward (-expectedForward / -sampling expected) — the "
+                 "gradient flows only through it; the MC estimators "
+                 "re-draw per eval")
     if args.likelihood != "poisson":
         sys.exit(f"error: -sampler {args.sampler} requires -likelihood "
                  "poisson (the reference's int()-cast likelihood has zero "
@@ -344,8 +357,9 @@ def run_gradient_sampler(args, problem, observed, *, names):
     # here — the norm boxes span five decades, so (hi-lo)/k standardizes
     # N to ~1e6-scale units and the chains would start outside the box.
     # NUTS's warm-up metric refines whatever this misses.
+    n_chains = args.nChains
     cloud = np.asarray(problem.initial_walkers_from_observed(
-        jax.random.fold_in(key, 3), 256, observed))
+        jax.random.fold_in(key, 3), max(256, n_chains), observed))
     scales = jnp.asarray(np.maximum(cloud.std(axis=0), 1e-6), jnp.float32)
 
     def logp_u(u):
@@ -353,31 +367,39 @@ def run_gradient_sampler(args, problem, observed, *, names):
 
     n_warmup = 10 if args.debug else args.nBurninSteps
     n_steps = 10 if args.debug else args.nMainSteps
-    n_chains = args.nChains
     # start from the problem's initial-walker law, standardized
     p0 = (jnp.asarray(cloud[: n_chains], jnp.float32) - center) / scales
     print(f"{args.sampler}: {n_chains} chains x {n_warmup} warmup "
           f"+ {n_steps} steps (standardized coordinates)")
+    import contextlib
+
+    from ..utils import profiling
+    prof = (profiling.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
     t0 = time.time()
-    if args.sampler == "nuts":
-        from ..sampler.nuts import nuts_sample
-        chain = nuts_sample(jax.random.fold_in(key, 2), p0, n_steps,
-                            logp_u, n_warmup=n_warmup,
-                            max_depth=args.maxDepth)
-        accept = np.asarray(chain.accept_stat)
-        n_div = int(np.sum(np.asarray(chain.diverging)))
-        extra = (f"nuts: step_size {chain.step_size:.4g}, mean tree depth "
-                 f"{float(np.mean(np.asarray(chain.tree_depth))):.1f}, "
-                 f"divergences {n_div}/{accept.size}")
-    else:
-        from ..sampler.hmc import hmc_sample
-        chain = hmc_sample(jax.random.fold_in(key, 2), p0, n_steps,
-                           logp_u, n_warmup=n_warmup)
-        accept = np.asarray(chain.accept_prob)
-        extra = f"hmc: step_size {chain.step_size:.4g}"
-    positions = (np.asarray(center)
-                 + np.asarray(scales) * np.asarray(chain.positions))
+    with prof:
+        if args.sampler == "nuts":
+            from ..sampler.nuts import nuts_sample
+            chain = nuts_sample(jax.random.fold_in(key, 2), p0, n_steps,
+                                logp_u, n_warmup=n_warmup,
+                                max_depth=args.maxDepth)
+            accept = np.asarray(chain.accept_stat)
+            n_div = int(np.sum(np.asarray(chain.diverging)))
+            extra = (f"nuts: step_size {chain.step_size:.4g}, "
+                     f"mean tree depth "
+                     f"{float(np.mean(np.asarray(chain.tree_depth))):.1f}, "
+                     f"divergences {n_div}/{accept.size}")
+        else:
+            from ..sampler.hmc import hmc_sample
+            chain = hmc_sample(jax.random.fold_in(key, 2), p0, n_steps,
+                               logp_u, n_warmup=n_warmup)
+            accept = np.asarray(chain.accept_prob)
+            extra = f"hmc: step_size {chain.step_size:.4g}"
+        positions = (np.asarray(center)
+                     + np.asarray(scales) * np.asarray(chain.positions))
     elapsed = time.time() - t0
+    if args.profile:
+        print(f"profiler trace written to {args.profile}")
     print(f"{extra}, mean accept stat {float(accept.mean()):.2f}")
 
     path = args.outputPrefix + "mainchain.dat"
@@ -386,7 +408,17 @@ def run_gradient_sampler(args, problem, observed, *, names):
                                np.asarray(chain.log_probs))
     _print_diagnostics("main", path)
 
-    flat = positions.reshape(-1, len(names))
+    result = report_quantiles(positions.reshape(-1, len(names)), names)
+    # rate counts warm-up + kept transitions over the full elapsed time,
+    # matching the ensemble path's (burnin+main)*walkers/elapsed metric
+    rate = (n_warmup + n_steps) * n_chains / elapsed
+    print(json.dumps({"walker_steps_per_sec": rate, "elapsed_s": elapsed}))
+    return {"quantiles": result, "walker_steps_per_sec": rate}
+
+
+def report_quantiles(flat, names):
+    """Print the shared 16/50/84 quantile table; return {name: [med, +s,
+    -s]} (the dict both flagship CLIs and the gradient path return)."""
     q = np.percentile(flat, [16, 50, 84], axis=0)
     print("MCMC result (median +sigma -sigma):")
     result = {}
@@ -394,9 +426,7 @@ def run_gradient_sampler(args, problem, observed, *, names):
         med, lo_, hi_ = q[1, d], q[1, d] - q[0, d], q[2, d] - q[1, d]
         print(f"  {name} = {med:.4g} +{hi_:.3g} -{lo_:.3g}")
         result[name] = [float(med), float(hi_), float(lo_)]
-    rate = n_steps * n_chains / elapsed
-    print(json.dumps({"walker_steps_per_sec": rate, "elapsed_s": elapsed}))
-    return {"quantiles": result, "walker_steps_per_sec": rate}
+    return result
 
 
 def _print_diagnostics(phase: str, chain_path: str) -> None:

@@ -129,13 +129,11 @@ def main(argv=None) -> dict:
                                       batch=bool(args.batch))
         return {"status": "checkLikelihoodEval", "total_loglike": total}
 
+    names = (["eLoss", "scale", "s"] + [f"N{i+1}" for i in range(3)]
+             + [f"BG{i+1}" for i in range(3)])
     if args.sampler != "ensemble":
         from ._driver import run_gradient_sampler
-        return run_gradient_sampler(
-            args, problem, observed,
-            names=["eLoss", "scale", "s"]
-            + [f"N{i + 1}" for i in range(3)]
-            + [f"BG{i + 1}" for i in range(3)])
+        return run_gradient_sampler(args, problem, observed, names=names)
 
     logp_batch = build_logp_batch(problem.make_log_prob_fn(observed), args)
 
@@ -156,18 +154,10 @@ def main(argv=None) -> dict:
         args, state, phases, logp_batch, n_walkers=n_walkers,
         fingerprint=fingerprint)
 
+    from ._driver import report_quantiles
     main_chain, _, n_params, _, _ = chain_io.read_chain_text(
         prefix + "mainchain.dat")
-    flat = main_chain.reshape(-1, n_params)
-    q = np.percentile(flat, [16, 50, 84], axis=0)
-    names = (["eLoss", "scale", "s"] + [f"N{i+1}" for i in range(3)]
-             + [f"BG{i+1}" for i in range(3)])
-    print("MCMC result (median +sigma -sigma):")
-    result = {}
-    for d, name in enumerate(names):
-        med, lo, hi = q[1, d], q[1, d] - q[0, d], q[2, d] - q[1, d]
-        print(f"  {name} = {med:.4g} +{hi:.3g} -{lo:.3g}")
-        result[name] = [float(med), float(hi), float(lo)]
+    result = report_quantiles(main_chain.reshape(-1, n_params), names)
 
     rate = total_steps * int(state.positions.shape[0]) / elapsed
     print(json.dumps({"walker_steps_per_sec": rate, "elapsed_s": elapsed}))

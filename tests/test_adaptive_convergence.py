@@ -33,8 +33,10 @@ def test_adaptive_phase_stops_early(tmp_path):
     # a 2-d standard Gaussian mixes in a handful of stretch steps; the
     # tau gate must fire long before the cap
     assert total_steps < cap
-    # ... and never before the 8-segment warmup window
-    assert total_steps >= 8 * 40
+    # ... and never before the fixed ~80-step warmup window (the first
+    # tau check is max(80, 2*segment) — decoupled from the flush segment
+    # size so the default segment=50 cannot push it past short caps)
+    assert total_steps >= max(80, 2 * 40)
     # the streamed chain matches what was actually sampled
     from mcmctoffitting_tpu.utils import chain_io
     chain, _, n_params, n_walkers, n_steps = chain_io.read_chain_text(path)
