@@ -489,7 +489,7 @@ def add_common_flags(p, refs: dict) -> None:
                         "the TPU tunnel — so 50 amortizes it 5x vs the "
                         "old 10: full-fit wall 12.9 -> 8.9 s measured; "
                         "-convergeMain's first tau check sits at "
-                        "8*segment steps)")
+                        "max(80, 2*segment) steps)")
     p.add_argument("-convergeMain", type=int, choices=[0, 1], nargs="?",
                    const=1, default=0,
                    help="treat -nMainSteps as a CAP and stop the main "
