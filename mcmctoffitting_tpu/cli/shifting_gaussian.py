@@ -9,7 +9,9 @@ m=-0.3, b=5; ``tests/shiftingGaussian_brute.py:150-160``), then
    diagnostics (``:329-334``);
 2. the PTSampler configuration: 20 temperatures x 100 walkers,
    1000 burn-in + 10000 main steps thinned by 10 (``:349-360``),
-   reporting the cold (beta=1) chain and per-rung swap acceptance.
+   reporting the cold (beta=1) chain, per-rung swap acceptance, and the
+   thermodynamic-integration log-evidence ln Z (the method emcee 2's
+   PTSampler exposes on the sampler the reference configures).
 
 ``-model tof`` instead runs PT on a REDUCED TOF POSTERIOR (simultFit,
 2 runs, corrected likelihood, counts forward): the beamE-eLoss direction
@@ -58,7 +60,7 @@ def main(argv=None) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from ..sampler.pt import sample_pt
+    from ..sampler.pt import default_beta_ladder, sample_pt
     from ..utils import chain_io
 
     if args.debug:
@@ -122,9 +124,15 @@ def main(argv=None) -> dict:
     q = np.percentile(cold, [16, 50, 84], axis=0)
     swaps = np.asarray(main_chain.n_swaps_accepted) / args.ptSteps \
         / args.ptWalkers
+    # the model-comparison payoff of tempered sampling, same method as
+    # emcee 2's PTSampler.thermodynamic_integration_log_evidence (the
+    # sampler the reference configures, tests/shiftingGaussian_brute.py:352)
+    ln_z, d_ln_z = main_chain.thermodynamic_integration_log_evidence(
+        default_beta_ladder(args.nTemps))
     print(f"PT ({args.nTemps} temps x {args.ptWalkers} walkers, "
           f"{args.ptBurnin}+{args.ptSteps} steps thin {args.thin}):")
     print(f"  swap acceptance per rung: {np.round(swaps, 3).tolist()}")
+    print(f"  ln Z (thermodynamic integration) = {ln_z:.3f} +- {d_ln_z:.3f}")
     for d, n in enumerate(names):
         print(f"  {n} = {q[1, d]:.4g} +{q[2, d] - q[1, d]:.3g} "
               f"-{q[1, d] - q[0, d]:.3g} (truth {TRUTH[d]})")
@@ -135,6 +143,7 @@ def main(argv=None) -> dict:
         mode="w")
     result["pt"] = {n: float(q[1, d]) for d, n in enumerate(names)}
     result["pt_swap_acceptance"] = swaps.tolist()
+    result["pt_ln_evidence"] = [float(ln_z), float(d_ln_z)]
     print(json.dumps({"pt_cold_medians": result["pt"]}))
     return result
 
@@ -147,7 +156,7 @@ def _run_tof_pt(args, key) -> dict:
 
     from ..models import simult
     from ..ops.likelihoods import box_lnprior
-    from ..sampler.pt import sample_pt
+    from ..sampler.pt import default_beta_ladder, sample_pt
     from ..utils import data_io
 
     n_runs = 2
@@ -192,10 +201,17 @@ def _run_tof_pt(args, key) -> dict:
               f"-{q[1, d] - q[0, d]:.3g}")
     print(f"  cold-chain beamE 95% span: [{span[0]:.1f}, {span[1]:.1f}] "
           f"({span[1] - span[0]:.1f} keV of ridge traversed)")
+    # ln Z of the TOF posterior by thermodynamic integration — consistent
+    # under the pseudo-marginal (stochastic) likelihood too: the per-rung
+    # <ln L>_beta averages over the estimator noise
+    ln_z, d_ln_z = chain.thermodynamic_integration_log_evidence(
+        default_beta_ladder(args.nTemps))
+    print(f"  ln Z (thermodynamic integration) = {ln_z:.3f} +- {d_ln_z:.3f}")
     print(json.dumps({"beamE_span_keV": float(span[1] - span[0]),
                       "swap_acceptance": swaps.tolist()}))
     return {"beamE_span_keV": float(span[1] - span[0]),
-            "swap_acceptance": swaps.tolist()}
+            "swap_acceptance": swaps.tolist(),
+            "pt_ln_evidence": [float(ln_z), float(d_ln_z)]}
 
 
 if __name__ == "__main__":

@@ -111,6 +111,9 @@ def test_pt_on_reduced_tof_posterior_traverses_ridge():
     assert out["beamE_span_keV"] > 1.0
     assert all(0.0 <= s <= 1.0 for s in out["swap_acceptance"])
     assert max(out["swap_acceptance"]) > 0.01
+    # thermodynamic-integration ln Z reported (emcee 2 PTSampler parity)
+    ln_z, d_ln_z = out["pt_ln_evidence"]
+    assert np.isfinite(ln_z) and np.isfinite(d_ln_z) and d_ln_z >= 0.0
 
 
 def test_shifting_gaussian_cli_debug_smoke():
@@ -122,6 +125,11 @@ def test_shifting_gaussian_cli_debug_smoke():
     assert abs(out["pt"]["sigma"] - TRUTH[0]) < 0.3
     assert abs((5 * out["pt"]["m"] + out["pt"]["b"])
                - (5 * TRUTH[1] + TRUTH[2])) < 0.5
+    # ln Z rides along (correctness of the estimator is pinned against an
+    # analytic evidence in test_pt_evidence.py; here: the CLI reports it)
+    import numpy as np
+    ln_z, d_ln_z = out["pt_ln_evidence"]
+    assert np.isfinite(ln_z) and np.isfinite(d_ln_z) and d_ln_z >= 0.0
 
 
 def test_adaptive_ladder_equalizes_swap_acceptance():
