@@ -60,7 +60,7 @@ def main(argv=None) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from ..sampler.pt import default_beta_ladder, sample_pt
+    from ..sampler.pt import sample_pt
     from ..utils import chain_io
 
     if args.debug:
@@ -126,9 +126,9 @@ def main(argv=None) -> dict:
         / args.ptWalkers
     # the model-comparison payoff of tempered sampling, same method as
     # emcee 2's PTSampler.thermodynamic_integration_log_evidence (the
-    # sampler the reference configures, tests/shiftingGaussian_brute.py:352)
-    ln_z, d_ln_z = main_chain.thermodynamic_integration_log_evidence(
-        default_beta_ladder(args.nTemps))
+    # sampler the reference configures, tests/shiftingGaussian_brute.py:352);
+    # the chain carries the ladder it was sampled at (PTChain.betas)
+    ln_z, d_ln_z = main_chain.thermodynamic_integration_log_evidence()
     print(f"PT ({args.nTemps} temps x {args.ptWalkers} walkers, "
           f"{args.ptBurnin}+{args.ptSteps} steps thin {args.thin}):")
     print(f"  swap acceptance per rung: {np.round(swaps, 3).tolist()}")
@@ -156,7 +156,7 @@ def _run_tof_pt(args, key) -> dict:
 
     from ..models import simult
     from ..ops.likelihoods import box_lnprior
-    from ..sampler.pt import default_beta_ladder, sample_pt
+    from ..sampler.pt import sample_pt
     from ..utils import data_io
 
     n_runs = 2
@@ -201,11 +201,13 @@ def _run_tof_pt(args, key) -> dict:
               f"-{q[1, d] - q[0, d]:.3g}")
     print(f"  cold-chain beamE 95% span: [{span[0]:.1f}, {span[1]:.1f}] "
           f"({span[1] - span[0]:.1f} keV of ridge traversed)")
-    # ln Z of the TOF posterior by thermodynamic integration — consistent
-    # under the pseudo-marginal (stochastic) likelihood too: the per-rung
-    # <ln L>_beta averages over the estimator noise
-    ln_z, d_ln_z = chain.thermodynamic_integration_log_evidence(
-        default_beta_ladder(args.nTemps))
+    # ln Z of the TOF posterior by thermodynamic integration.  NOTE: under
+    # the pseudo-marginal (stochastic) likelihood this is approximate and
+    # biased LOW — E[ln L-hat] <= ln E[L-hat] = ln L (Jensen), so each
+    # rung's <ln L>_beta is depressed by ~Var[ln L-hat]/2; report it as a
+    # lower bound (an unbiased ln Z would need a non-stochastic — e.g.
+    # expected-forward — likelihood evaluation along the ladder)
+    ln_z, d_ln_z = chain.thermodynamic_integration_log_evidence()
     print(f"  ln Z (thermodynamic integration) = {ln_z:.3f} +- {d_ln_z:.3f}")
     print(json.dumps({"beamE_span_keV": float(span[1] - span[0]),
                       "swap_acceptance": swaps.tolist()}))

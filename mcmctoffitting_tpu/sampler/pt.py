@@ -57,6 +57,7 @@ class PTChain:
     n_swaps_accepted: jax.Array  # (T-1,)
     n_steps: jax.Array         # () total steps sampled (pre-thin)
     state: PTState
+    betas: jax.Array           # (T,) the ladder this chain was sampled at
 
     @property
     def acceptance_fraction(self):
@@ -67,14 +68,17 @@ class PTChain:
         """(S, W, D) samples of the beta=1 target posterior."""
         return self.positions[:, 0]
 
-    def thermodynamic_integration_log_evidence(self, betas, *,
+    def thermodynamic_integration_log_evidence(self, betas=None, *,
                                                fburnin: float = 0.1):
         """(ln Z, error) for the ladder this chain was sampled at.
 
-        ``betas`` is the fixed ladder passed to ``sample_pt`` (for
-        ``sample_pt_adaptive`` chains pass the returned final ladder; the
-        late — post-adaptation — samples dominate after burn-in).
+        Defaults to ``self.betas`` — the ladder ``sample_pt`` actually
+        used (for ``sample_pt_adaptive`` chains this is the FINAL adapted
+        ladder; the late — post-adaptation — samples dominate after
+        burn-in).  The explicit ``betas`` argument remains as an override.
         """
+        if betas is None:
+            betas = self.betas
         return thermodynamic_integration_log_evidence(
             self.log_like, betas, fburnin=fburnin)
 
@@ -402,17 +406,27 @@ def sample_pt_adaptive(key, p0, n_steps: int, loglike_fn, logprior_fn, *,
     if thin > 1:
         pos, ll, lp, b_hist = (pos[::thin], ll[::thin], lp[::thin],
                                b_hist[::thin])
+    betas_final = betas_of(log_gaps)
     chain = PTChain(pos, ll, lp, jnp.sum(acc, axis=0),
                     jnp.sum(swaps, axis=0),
-                    jnp.asarray(n_steps, jnp.int32), final)
-    return chain, betas_of(log_gaps), b_hist
+                    jnp.asarray(n_steps, jnp.int32), final, betas_final)
+    return chain, betas_final, b_hist
 
 
 def sample_pt(key, p0, n_steps: int, loglike_fn, logprior_fn, *,
               betas=None, n_temps: Optional[int] = None, a: float = 2.0,
               stochastic: bool = False, thin: int = 1,
-              move: str = "stretch") -> PTChain:
-    """PTSampler equivalent: p0 (T, W, D) or (W, D) with n_temps given."""
+              move: str = "stretch",
+              loglike_batch: Optional[Callable] = None,
+              logprior_batch: Optional[Callable] = None) -> PTChain:
+    """PTSampler equivalent: p0 (T, W, D) or (W, D) with n_temps given.
+
+    ``loglike_batch``/``logprior_batch`` override the default
+    ``vmap(vmap(fn))`` lifting with caller-built (T, W)-batched
+    evaluators — the hook the multi-chip path uses to shard the walker
+    axis over a device mesh (``parallel/mesh.py``) while the tempered
+    move bookkeeping stays replicated.
+    """
     p0 = jnp.asarray(p0, dtype=jnp.float32)
     if p0.ndim == 2:
         if n_temps is None:
@@ -421,14 +435,19 @@ def sample_pt(key, p0, n_steps: int, loglike_fn, logprior_fn, *,
     if betas is None:
         betas = default_beta_ladder(p0.shape[0])
 
-    loglike_batch = _make_batched(loglike_fn, stochastic)
-    logprior_batch = _make_batched(logprior_fn, stochastic)
+    if loglike_batch is None:
+        loglike_batch = _make_batched(loglike_fn, stochastic)
+    if logprior_batch is None:
+        logprior_batch = _make_batched(logprior_fn, stochastic)
     state = init_pt_state(key, p0, loglike_batch, logprior_batch)
     step = make_pt_step(loglike_batch, logprior_batch, betas, a, move=move)
     final, (pos, ll, lp, acc, swaps) = jax.lax.scan(
         step, state, None, length=n_steps)
     if thin > 1:
         pos, ll, lp = pos[::thin], ll[::thin], lp[::thin]
+    # record the ladder at the caller's (f64) precision: the TI integral
+    # is computed in f64, so a rounded f32 copy would shift ln Z
     return PTChain(pos, ll, lp, jnp.sum(acc, axis=0),
                    jnp.sum(swaps, axis=0),
-                   jnp.asarray(n_steps, jnp.int32), final)
+                   jnp.asarray(n_steps, jnp.int32), final,
+                   np.asarray(betas, np.float64))

@@ -127,7 +127,6 @@ def test_shifting_gaussian_cli_debug_smoke():
                - (5 * TRUTH[1] + TRUTH[2])) < 0.5
     # ln Z rides along (correctness of the estimator is pinned against an
     # analytic evidence in test_pt_evidence.py; here: the CLI reports it)
-    import numpy as np
     ln_z, d_ln_z = out["pt_ln_evidence"]
     assert np.isfinite(ln_z) and np.isfinite(d_ln_z) and d_ln_z >= 0.0
 
