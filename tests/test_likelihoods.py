@@ -12,7 +12,8 @@ from mcmctoffitting_tpu.ops.likelihoods import (box_lnprior,
 
 def oracle_multinomial(model_pdf, obs):
     """Reference lnlike zero-guard loop (utilities/utilities.py:113-124)."""
-    logm = np.log(model_pdf)
+    with np.errstate(divide="ignore"):   # zero pdf bins -> -inf on purpose
+        logm = np.log(model_pdf)
     zero_idx = np.where(obs == 0)[0]
     for idx in zero_idx:
         if logm[idx] == -np.inf:

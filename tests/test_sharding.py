@@ -38,8 +38,10 @@ def test_sharded_sampler_matches_unsharded_statistics(mesh):
     logp_sharded = make_sharded_logp_batch(gaussian_logp, mesh)
 
     s_local = init_state(jax.random.PRNGKey(3), p0, logp_local)
-    s_shard = init_state(jax.random.PRNGKey(3), replicate(p0, mesh)
-                         if False else p0, logp_sharded)
+    # feed the sharded run a mesh-replicated p0: the replicated-input path
+    # must produce the same chain as a plain host array
+    s_shard = init_state(jax.random.PRNGKey(3), replicate(p0, mesh),
+                         logp_sharded)
     c_local = run_mcmc(s_local, 30, logp_local)
     c_shard = run_mcmc(s_shard, 30, logp_sharded)
     np.testing.assert_allclose(np.asarray(c_local.positions),
