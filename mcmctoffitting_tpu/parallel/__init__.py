@@ -7,4 +7,4 @@ global-mesh helpers — the DCN path replacing the reference's MPI pool.
 
 from . import distributed  # noqa: F401
 from .mesh import (WALKER_AXIS, make_mesh, make_sharded_logp_batch,
-                   replicate)  # noqa: F401
+                   make_sharded_pt_batch, replicate)  # noqa: F401

@@ -66,6 +66,44 @@ def make_sharded_logp_batch(log_prob_fn, mesh: Mesh, *,
     return sharded
 
 
+def make_sharded_pt_batch(fn, mesh: Mesh, *, stochastic: bool = True,
+                          axis_name: str = WALKER_AXIS):
+    """(T, W)-batched evaluator for the PT sampler, walker axis sharded.
+
+    The temperature ladder stays replicated (it is small and every rung
+    participates in replica exchange each step); within each rung the
+    walkers are split over the mesh exactly like the flat ensemble's
+    (``make_sharded_logp_batch``).  Drops into ``sample_pt``'s
+    ``loglike_batch=`` / ``logprior_batch=`` hooks.
+    """
+    if stochastic:
+        per = fn
+    else:
+        def per(theta, key):
+            del key
+            return fn(theta)
+    local_batch = jax.vmap(jax.vmap(per))     # (T, W) within the shard
+
+    def sharded(thetas, keys):
+        n = thetas.shape[1]
+        n_dev = mesh.devices.size
+        if n % n_dev:
+            raise ValueError(
+                f"per-rung walker half-ensemble {n} not divisible by mesh "
+                f"size {n_dev}; choose walkers as a multiple of "
+                f"2*n_devices")
+        out = jax.shard_map(
+            local_batch, mesh=mesh,
+            in_specs=(P(None, axis_name), P(None, axis_name)),
+            out_specs=P(None, axis_name),
+            check_vma=False,
+        )(thetas, keys)
+        return jax.lax.with_sharding_constraint(
+            out, NamedSharding(mesh, P()))
+
+    return sharded
+
+
 def replicate(tree, mesh: Mesh):
     """Place a pytree fully replicated on the mesh."""
     sharding = NamedSharding(mesh, P())
