@@ -612,9 +612,15 @@ def resolve_sampling(args):
     return sampling, args.fineGrid or None
 
 
-def build_logp_batch(logp, args):
+def build_logp_batch(logp, args, n_walkers=None):
     """Walker-batch evaluator: sharded over the device mesh when >1
-    device is visible (-mesh caps), vmapped locally otherwise."""
+    device is visible (-mesh caps), vmapped locally otherwise.
+
+    With ``n_walkers`` given, the mesh shrinks to the largest device
+    count that divides the half-ensemble (the red-black move evaluates
+    walkers/2 at a time) instead of erroring — tiny debug ensembles on
+    big meshes just use fewer devices.
+    """
     import jax
 
     from ..parallel import make_mesh, make_sharded_logp_batch
@@ -623,6 +629,11 @@ def build_logp_batch(logp, args):
     devices = jax.devices()
     if args.mesh:
         devices = devices[: args.mesh]
+    if n_walkers is not None:
+        n_fit = len(devices)
+        while n_fit > 1 and (n_walkers // 2) % n_fit:
+            n_fit -= 1
+        devices = devices[:n_fit]
     chunk = args.chunkWalkers or None
     if len(devices) > 1:
         lb = make_sharded_logp_batch(logp, make_mesh(devices), chunk=chunk)

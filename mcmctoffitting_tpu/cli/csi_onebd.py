@@ -135,7 +135,8 @@ def main(argv=None) -> dict:
         from ._driver import run_gradient_sampler
         return run_gradient_sampler(args, problem, observed, names=names)
 
-    logp_batch = build_logp_batch(problem.make_log_prob_fn(observed), args)
+    logp_batch = build_logp_batch(problem.make_log_prob_fn(observed), args,
+                                  n_walkers=n_walkers)
 
     prefix = args.outputPrefix
     fingerprint = posterior_fingerprint(problem, observed)
