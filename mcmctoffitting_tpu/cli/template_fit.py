@@ -118,9 +118,18 @@ def main(argv=None) -> dict:
                           chain.acceptance_fraction).mean())}))
 
     try:
-        from ..utils.plotting import trace_plot
+        from ..utils.plotting import trace_plot, unfolded_spectrum_plot
         trace_plot(np.asarray(chain.positions), None,
                    args.outputPrefix + "trace.png", max_params=6)
+        # the reference's closing posterior visualization: unfolded
+        # spectrum band + run-scale histograms with quantile lines
+        # (tests/devShapeTemplates.py:584-631)
+        centers = 0.5 * (T.TEMPLATE_BOUNDS[:-1] + T.TEMPLATE_BOUNDS[1:])
+        unfolded_spectrum_plot(
+            centers, samples,
+            filename=args.outputPrefix + "unfolded_spectrum.png")
+        print(f"unfolded-spectrum plot -> "
+              f"{args.outputPrefix}unfolded_spectrum.png")
     except Exception as e:
         print(f"plotting skipped: {e}")
     return {"scales_median": q[1, :3].tolist(),

@@ -187,6 +187,66 @@ def initial_energy_plot(beam_e: float, e_loss: float, scale: float, s: float,
     return fig
 
 
+def unfolded_spectrum_plot(template_energies, samples,
+                           run_names: Optional[Sequence[str]] = None,
+                           filename: Optional[str] = None):
+    """Template-fit posterior summary: the unfolded energy spectrum.
+
+    Rebuilds the reference's final devShapeTemplates visualization
+    (``tests/devShapeTemplates.py:584-631``): (1) the unfolded spectrum —
+    per-slice energy coefficients vs template energy as a median curve
+    with a 16-84% credible band plus errorbar points (the reference's
+    mean +- std errorbar plot, ``:616-621``), and (2) per-run scale-factor
+    posterior histograms with dashed/dotted 16/50/84 quantile lines
+    (``:597-606``).
+
+    Parameters
+    ----------
+    template_energies : (T,) slice energies (keV)
+    samples : (N, n_scales + T) flat posterior samples — run scales first,
+        then the template coefficients (the reference's layout)
+    """
+    plt = _plt()
+    e = np.asarray(template_energies, dtype=np.float64)
+    flat = np.asarray(samples, dtype=np.float64)
+    n_scales = flat.shape[1] - e.size
+    if n_scales < 1:
+        raise ValueError(
+            f"samples have {flat.shape[1]} columns for {e.size} template "
+            "energies; expected >= 1 leading run-scale column")
+    coeffs = flat[:, n_scales:]
+    q = np.percentile(coeffs, [16, 50, 84], axis=0)       # (3, T)
+
+    fig, axes = plt.subplots(
+        1 + n_scales, 1, figsize=(8, 4 + 1.6 * n_scales),
+        gridspec_kw={"height_ratios": [3] + [1] * n_scales})
+    ax = axes[0]
+    ax.fill_between(e, q[0], q[2], color="tab:orange", alpha=0.4,
+                    label="16-84% credible band")
+    ax.plot(e, q[1], color="tab:red", lw=1.2, label="median")
+    ax.errorbar(e, coeffs.mean(axis=0), yerr=coeffs.std(axis=0),
+                fmt="k.", ms=4, lw=0.8, label="mean $\\pm$ std")
+    ax.set_xlabel("Energy (keV)")
+    ax.set_ylabel("Energy coefficient")
+    ax.set_title("Unfolded energy spectrum (template coefficients)")
+    ax.legend()
+    for r in range(n_scales):
+        axr = axes[1 + r]
+        vals = flat[:, r]
+        axr.hist(vals, bins=30, color="0.7")
+        q_lo, q_med, q_hi = np.percentile(vals, [16, 50, 84])
+        axr.axvline(q_med, color="r", ls="dashed")
+        axr.axvline(q_lo, color="r", ls="dotted")
+        axr.axvline(q_hi, color="r", ls="dotted")
+        axr.set_ylabel(run_names[r] if run_names
+                       else f"Scale factor, run {r + 1}")
+    fig.tight_layout()
+    if filename:
+        fig.savefig(filename, dpi=200)
+        plt.close(fig)
+    return fig
+
+
 def ppc_band_plot(observed, bands, bin_edges=None,
                   filename: Optional[str] = None):
     """Observed counts vs 16/50/84% PPC bands (``tests/testPPC.py:110-139``)."""
