@@ -10,8 +10,15 @@ and the (rows, bins) accumulator lives in the output block across the
 sample-tile grid dimension (classic revisited-output accumulation).
 
 Semantics match ``np.histogram(v, bins, range=(lo, hi), weights=w)``.
-Falls back transparently to the XLA path for shapes the kernel does not
-cover (``weighted_histogram_auto``).
+
+STATUS — measured alternative, NOT on the production path: on v5e this
+kernel LOST to the XLA one-hot scan it was built to replace (73 ms vs
+40 ms at the flagship mc shapes; RESULTS_r3.md "kernel fight"), so
+``ops/histogram.weighted_histogram`` remains the production op.  The
+kernel is kept (with its parity tests) as the measured A/B record; the
+``weighted_histogram_auto`` dispatcher that once routed shapes here was
+deleted in round 4 (it had no callers).  The counts-path bound analysis
+that superseded this line of attack lives in RESULTS_r4.md.
 """
 from __future__ import annotations
 
@@ -22,8 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from .histogram import weighted_histogram
 
 
 def _hist_kernel(v_ref, w_ref, o_ref, *, lo, hi, n_bins, n_valid, n_blk):
@@ -94,14 +99,3 @@ def pallas_weighted_histogram(values, weights, lo: float, hi: float,
     return out[:r]
 
 
-def weighted_histogram_auto(values, lo, hi, n_bins, weights=None, *,
-                            use_pallas: bool = True, chunk: int = 16384,
-                            interpret: bool = False):
-    """Dispatch: Pallas kernel for 2-D (R, N) shapes on TPU, XLA otherwise."""
-    v = jnp.asarray(values)
-    if (use_pallas and v.ndim == 2 and n_bins <= 512
-            and v.shape[-1] >= 1024):
-        w = jnp.ones_like(v) if weights is None else jnp.asarray(weights)
-        return pallas_weighted_histogram(v, w, float(lo), float(hi),
-                                         int(n_bins), interpret=interpret)
-    return weighted_histogram(v, lo, hi, n_bins, weights, chunk=chunk)

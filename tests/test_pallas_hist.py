@@ -2,8 +2,7 @@
 import numpy as np
 import pytest
 
-from mcmctoffitting_tpu.ops.pallas_hist import (pallas_weighted_histogram,
-                                                weighted_histogram_auto)
+from mcmctoffitting_tpu.ops.pallas_hist import pallas_weighted_histogram
 
 
 @pytest.mark.parametrize("r,n,bins", [(4, 4096, 50), (10, 5000, 45),
@@ -41,19 +40,3 @@ def test_right_edge_semantics():
     assert got[0, -1] == 2.0  # 1.0 and 0.99999
     assert got[0, 0] == 1.0
     assert got[0].sum() == 3.0  # out-of-range dropped
-
-
-def test_auto_dispatch_fallback():
-    rng = np.random.default_rng(2)
-    # 3-D shape -> XLA path
-    v = rng.uniform(0, 1, (2, 3, 500)).astype(np.float32)
-    got = np.asarray(weighted_histogram_auto(v, 0.0, 1.0, 10,
-                                             use_pallas=True))
-    assert got.shape == (2, 3, 10)
-    # 2-D large -> pallas path (interpret for CPU test)
-    v2 = rng.uniform(0, 1, (4, 2048)).astype(np.float32)
-    got2 = np.asarray(weighted_histogram_auto(v2, 0.0, 1.0, 10,
-                                              interpret=True))
-    for i in range(4):
-        want, _ = np.histogram(v2[i], 10, (0.0, 1.0))
-        np.testing.assert_array_equal(got2[i], want.astype(np.float32))
