@@ -64,7 +64,8 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure_tpu(sampling: str = "counts") -> tuple[float, float, int]:
+def _setup(sampling: str):
+    """Shared problem/evaluator/initial-state construction (all knobs)."""
     import jax
     import numpy as np
 
@@ -77,8 +78,7 @@ def measure_tpu(sampling: str = "counts") -> tuple[float, float, int]:
         jax.config.update("jax_default_prng_impl", PRNG)
 
     from mcmctoffitting_tpu.models import simult
-    from mcmctoffitting_tpu.sampler import (init_state, make_logp_batch,
-                                            run_mcmc)
+    from mcmctoffitting_tpu.sampler import init_state, make_logp_batch
     from mcmctoffitting_tpu.utils import data_io
 
     # "" -> per-mode default; 0 -> unchunked (matching BENCH_MESH=0 = all)
@@ -142,6 +142,15 @@ def measure_tpu(sampling: str = "counts") -> tuple[float, float, int]:
     _log(f"bench: init {N_WALKERS} walkers x {N_RUNS} runs x {N_DRAWS} draws")
     state = init_state(jax.random.fold_in(key, 2), p0, logp_batch)
     jax.block_until_ready(state.log_probs)
+    return spec, logp_batch, state, len(devices)
+
+
+def measure_tpu(sampling: str = "counts") -> tuple[float, float, int]:
+    import jax
+
+    from mcmctoffitting_tpu.sampler import run_mcmc
+
+    spec, logp_batch, state, n_devices = _setup(sampling)
 
     # one jitted program for the whole measurement segment; lower+compile
     # explicitly so the FLOP count (for MFU) comes from the exact program
@@ -177,7 +186,69 @@ def measure_tpu(sampling: str = "counts") -> tuple[float, float, int]:
     _log(f"bench: {flops / 1e12:.2f} TFLOP per {N_STEPS_MEASURE}-step "
          f"segment (analytic) -> {flops / best_dt / 1e12:.2f} TFLOP/s "
          f"({100 * mfu:.2f}% of v5e bf16 peak)")
-    return N_STEPS_MEASURE * N_WALKERS / best_dt, mfu, len(devices)
+    return N_STEPS_MEASURE * N_WALKERS / best_dt, mfu, n_devices
+
+
+def measure_full_fit(sampling: str) -> dict:
+    """Time-to-posterior metrics (VERDICT r3 item 4).
+
+    * ``full_fit_wall_s``: warm wall clock of the reference-default FULL
+      fit — 400 burn-in + 100 main steps at the flagship workload — run
+      as 100-step scan segments (one compiled program, production shape).
+    * ``ess_per_sec`` / ``ess_tau_max_steps``: the chain is continued
+      past the fit (counts: +2000 steps, mc: +600 — sized to each
+      estimator's step rate) and the worst-parameter integrated
+      autocorrelation time tau converts the measured segment wall clock
+      into effective samples per second: ESS/s = W * S / (tau * wall).
+      tau needs S >> tau (worst tau ~75-150 steps on this posterior,
+      RESULTS_r3.md), hence the continuation; the mc continuation is
+      shorter, so its tau (and ESS/s) is the rougher estimate.
+    """
+    import jax
+    import numpy as np
+
+    from mcmctoffitting_tpu.sampler import run_mcmc
+    from mcmctoffitting_tpu.utils.diagnostics import \
+        integrated_autocorr_time
+
+    _, logp_batch, state, _ = _setup(sampling)
+
+    def segment(s):
+        return run_mcmc(s, 100, logp_batch, move=MOVE or "stretch")
+
+    _log(f"bench[{sampling}]: compiling the 100-step full-fit segment")
+    compiled = jax.jit(segment).lower(state).compile()
+
+    # warm full fit: 4 burn-in segments + 1 main segment, timed end to end
+    t0 = time.perf_counter()
+    st = state
+    for _ in range(4):
+        st = compiled(st).state
+    main = compiled(st)
+    jax.block_until_ready(main.positions)
+    full_fit_wall = time.perf_counter() - t0
+    _log(f"bench[{sampling}]: warm 400+100 full fit in "
+         f"{full_fit_wall:.2f}s")
+
+    # mixing continuation from the equilibrated state
+    n_segs = 20 if sampling != "mc" else 6
+    t0 = time.perf_counter()
+    st, hist = main.state, []
+    for _ in range(n_segs):
+        ch = compiled(st)
+        hist.append(ch.positions)
+        st = ch.state
+    jax.block_until_ready(st.positions)
+    tau_wall = time.perf_counter() - t0
+    pos = np.concatenate([np.asarray(h) for h in hist])   # (S, W, D)
+    tau_max = float(integrated_autocorr_time(pos).max())
+    s_tau, n_w = pos.shape[0], pos.shape[1]
+    ess_per_sec = n_w * s_tau / (tau_max * tau_wall)
+    _log(f"bench[{sampling}]: tau_max {tau_max:.1f} steps over "
+         f"{s_tau} steps -> {ess_per_sec:.1f} ESS/s")
+    return {"full_fit_wall_s": round(full_fit_wall, 2),
+            "ess_per_sec": round(ess_per_sec, 2),
+            "ess_tau_max_steps": round(tau_max, 1)}
 
 
 def analytic_flops_per_walker_step(spec, n_runs: int) -> float:
@@ -321,14 +392,31 @@ def main() -> None:
     }
     if MOVE:
         out["move"] = MOVE
+    # time-to-posterior metrics (warm full-fit wall clock + ESS/s);
+    # BENCH_FULLFIT=0 opts out for quick sweep invocations
+    with_fullfit = os.environ.get("BENCH_FULLFIT", "1") != "0"
+    if with_fullfit:
+        try:
+            out.update(measure_full_fit(headline))
+        except Exception as e:
+            _log(f"bench: full-fit measurement failed "
+                 f"({type(e).__name__}: {e})")
     if not SAMPLING:
         # also record the faithful per-sample path (the reference-literal
-        # estimator; its roofline status is documented in RESULTS_r3.md)
+        # estimator; its roofline status is documented in RESULTS_r3.md) —
+        # symmetrically: step rate, MFU, AND time-to-posterior
         mc_value, mc_mfu, _ = _measure("mc")
         out["faithful_mc_walker_steps_per_sec"] = round(mc_value, 3)
         out["faithful_mc_vs_baseline"] = (round(mc_value / baseline, 2)
                                           if baseline else None)
         out["faithful_mc_mfu_pct"] = round(100 * mc_mfu, 3)
+        if with_fullfit:
+            try:
+                out.update({f"faithful_mc_{k}": v for k, v in
+                            measure_full_fit("mc").items()})
+            except Exception as e:
+                _log(f"bench: mc full-fit measurement failed "
+                     f"({type(e).__name__}: {e})")
     # cache for the wedged-tunnel fallback above (default knobs only, so a
     # sweep run never masquerades as the headline — mirrored by the
     # fallback read, which replays the cache only at default knobs too)
