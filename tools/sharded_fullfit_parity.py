@@ -36,6 +36,8 @@ if "xla_force_host_platform_device_count" not in os.environ.get(
 os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np  # noqa: E402
 
 PARAM_NAMES = ["beamE", "eLoss", "scale", "s"]
