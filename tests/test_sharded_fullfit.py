@@ -22,8 +22,10 @@ from sharded_fullfit_parity import run_protocol  # noqa: E402
 
 
 def test_sharded_fullfit_bitwise_and_quantiles():
+    # 200k draws: counts-mode cost is O(F) (draw-independent) and the
+    # lower pseudo-marginal noise keeps the short chain live
     rec = run_protocol(n_walkers=64, n_burnin=40, n_main=20,
-                       n_draws=1024, n_runs=2, seed=0)
+                       n_draws=200_000, n_runs=2, seed=0)
     # run_protocol asserts bitwise parity internally; re-assert the record
     assert rec["burnin_bitwise"] and rec["main_bitwise"]
     # the chain is live (walkers actually move) and quantiles are sane

@@ -25,9 +25,11 @@ import sys
 import tempfile
 import time
 
-# self-provision the virtual mesh BEFORE jax import (no-op under pytest,
-# whose conftest already did this)
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# self-provision the virtual mesh BEFORE jax import.  FORCE cpu: the
+# ambient env sets JAX_PLATFORMS=axon (one real TPU chip), which would
+# silently degrade this study to a 1-device mesh (sharded == local
+# trivially).  Under pytest the conftest already did both.
+os.environ["JAX_PLATFORMS"] = "cpu"
 if "xla_force_host_platform_device_count" not in os.environ.get(
         "XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
@@ -44,8 +46,11 @@ PARAM_NAMES = ["beamE", "eLoss", "scale", "s"]
 
 
 def run_protocol(n_walkers: int = 64, n_burnin: int = 200,
-                 n_main: int = 100, n_draws: int = 2048,
+                 n_main: int = 100, n_draws: int = 200_000,
                  n_runs: int = 4, seed: int = 0) -> dict:
+    # n_draws default = the flagship 200k: counts-mode cost is O(F),
+    # INDEPENDENT of the draw count, while the pseudo-marginal logp noise
+    # shrinks with it — the full-scale config is no slower than a tiny one
     """Run the complete fit sharded AND local; return the parity record.
 
     Both phases advance under ``lax.scan``; between them the state round-
@@ -53,6 +58,13 @@ def run_protocol(n_walkers: int = 64, n_burnin: int = 200,
     AssertionError on any sharded/local divergence.
     """
     import jax
+
+    # the axon sitecustomize imports jax at interpreter startup, BEFORE
+    # this module's env overrides run — override the already-read config
+    # directly (same gotcha as tests/conftest.py); backends initialize
+    # lazily so this still takes effect here
+    jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     jax.config.update("jax_enable_x64", False)
@@ -66,6 +78,11 @@ def run_protocol(n_walkers: int = 64, n_burnin: int = 200,
 
     mesh = make_mesh(jax.devices())
     n_dev = mesh.devices.size
+    if n_dev < 2:
+        raise RuntimeError(
+            f"only {n_dev} device(s) visible — the sharded-vs-local "
+            "comparison would be vacuous; run with the virtual CPU mesh "
+            "(the module header provisions it when run as a script)")
 
     spec = simult.default_spec(n_samples=n_draws, sampling="counts")
     problem = simult.SimultFitProblem(spec, n_runs=n_runs,
@@ -133,7 +150,7 @@ def main(argv=None) -> dict:
     p.add_argument("--nWalkers", type=int, default=64)
     p.add_argument("--nBurnin", type=int, default=200)
     p.add_argument("--nMain", type=int, default=100)
-    p.add_argument("--nDraws", type=int, default=2048)
+    p.add_argument("--nDraws", type=int, default=200_000)
     p.add_argument("--nRuns", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=os.path.join(
