@@ -40,7 +40,6 @@ from ..ops.histogram import (histogram_density, weighted_histogram,
                              weighted_histogram_multi_window)
 from ..ops.kinematics import dd_neutron_energy_np, tof
 from ..ops.pdfs import beam_energy_rvs, skewnorm_rvs
-from ..ops.poisson import poisson_ptrs
 from ..ops.stopping import BetheStopping, StoppingTable, rk4_transport
 from ..ops.timing import (ExGaussianTiming, ZeroDegreeTimingSpread,
                           apply_zero_degree_expo)
@@ -529,7 +528,9 @@ def _add_background(spec: ForwardSpec, spectrum, bg_level, key, n_bins):
     ``tests/csi_oneBD.py:521``) or its expectation (bg_mode='expected')."""
     if spec.bg_mode == "expected":
         return spectrum + bg_level
-    return spectrum + poisson_ptrs(
+    # backend-dispatched like the counts stage (ops/poisson.poisson_auto)
+    from ..ops.poisson import poisson_auto
+    return spectrum + poisson_auto(
         key, jnp.full((n_bins,), bg_level)).astype(spectrum.dtype)
 
 

@@ -436,7 +436,7 @@ def poissonized_moments(key, table: E0GridTable, beam_e, e_loss, scale, s,
     """
     import jax.numpy as jnp
 
-    from .poisson import poisson_ptrs
+    from .poisson import poisson_auto
 
     sbar, _ = expected_moments(table, beam_e, e_loss, scale, s,
                                n_samples, truncated, closure)  # (4, F)
@@ -473,7 +473,10 @@ def poissonized_moments(key, table: E0GridTable, beam_e, e_loss, scale, s,
         [lam, lam_below[None], lam_above[None]])
     # exact uniforms-only sampler: 1.27x jax.random.poisson on v5e at the
     # production shape (and PRNG-impl-agnostic); tools/tpu_poisson_probe.py
-    counts = poisson_ptrs(key, lam_all).astype(jnp.float32)
+    # backend-dispatched: fused Pallas kernel on TPU (2.1x the XLA PTRS
+    # at the production shape; the counts path is Poisson-bound), exact
+    # uniforms-only XLA sampler elsewhere — see ops/poisson.poisson_auto
+    counts = poisson_auto(key, lam_all).astype(jnp.float32)
     moments = counts[None, : table.n_fine] * jnp.where(
         lam[None, :] > 0, m, 0.0)                             # (4, F)
 

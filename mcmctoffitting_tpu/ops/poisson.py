@@ -26,15 +26,101 @@ the counts estimator; see ops/e0grid.poissonized_moments).
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
-__all__ = ["poisson_ptrs"]
+__all__ = ["poisson_ptrs", "poisson_auto"]
+
+
+def poisson_auto(key, lam):
+    """Backend dispatch for the counts-mode Poisson stage.
+
+    TPU: the fused Pallas kernel (ops/pallas_poisson.py) — measured
+    2.1x the XLA path at the production (W=1024, F+2) shape (1.067 ->
+    0.507 ms/iter, tools/tpu_poisson_ab.py: hardware PRNG bits +
+    shifted-Stirling gammaln, one VMEM-resident kernel); the counts
+    path is Poisson-bound (tools/tpu_chain_probe3.py), so this is the
+    headline lever.  CPU/other backends: the XLA path below.
+    Override with MCMCTOF_POISSON=xla|pallas.
+
+    STREAM NOTE: both backends sample the exact Poisson distribution but
+    on different random streams (threefry vs the TPU hardware PRNG), so
+    chains are backend-reproducible, not cross-backend-reproducible —
+    the same documented contract as ``-prng rbg``.  The kernel seeds per
+    walker-tile, so on TPU the mesh-vs-local bitwise guarantee of the
+    XLA sampler relaxes to statistical equality (tile boundaries move
+    with the sharding); CPU validation suites keep the XLA path and its
+    bitwise guarantees.
+    """
+    choice = os.environ.get("MCMCTOF_POISSON", "auto")
+    use_pallas = (jax.default_backend() == "tpu" if choice == "auto"
+                  else choice == "pallas")
+    if use_pallas:
+        from .pallas_poisson import poisson_pallas
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+            data = jax.random.key_data(key)
+        else:
+            data = key                      # raw (2,) uint32 PRNGKey
+        seed = data.reshape(-1)[:2].astype(jnp.uint32)
+        return poisson_pallas(seed, lam).astype(
+            jnp.promote_types(lam.dtype, jnp.float32))
+    return poisson_ptrs(key, lam)
 
 _SMALL_CUTOFF = 10.0
 _INV_ROUNDS = 48
 _MAX_PTRS_ROUNDS = 64
+
+
+def _ptrs_log_pmf(k, lam, loglam):
+    """Poisson log-pmf for the PTRS slow-accept test, cancellation-free.
+
+    The naive ``k*log(lam) - lam - gammaln(k+1)`` subtracts three
+    O(lam*log(lam))-magnitude terms to produce an O(1) result: at
+    lam = 1e4 the f32 rounding of the ~9e4-magnitude operands is ~1e-2
+    absolute and the acceptance test visibly skews (measured +2% variance
+    inflation at lam = 1e4, +3% at 1e5 — artifacts/
+    pallas_poisson_validation.json, first run).  Rewriting around
+    d = k - lam (EXACT in f32 by Sterbenz: k, lam within a factor of 2):
+
+        log pmf = d - k*log1p(d/lam) - log(2*pi*k)/2 - 1/(12k) + 1/(360k^3)
+
+    keeps every intermediate O(d) — but XLA's f32 ``log1p`` is itself
+    only ~1e-6 ABSOLUTE (~700 ulp at t ~ 0.025; measured on both the CPU
+    and TPU backends), and ``k *`` amplifies that to ~0.2 at lam = 1e5:
+    a +-20% oscillating acceptance skew in the slow path that deflated
+    the sampled variance by 1.3% (artifacts/, second run).  So for small
+    t the log1p is expanded in-place:
+
+        d - k*log1p(t) = -d^2/lam - k*r,
+        r = -t^2/2 + t^3/3 - t^4/4 + t^5/5 - t^6/6 + t^7/7
+
+    (k*t = d + d^2/lam exactly to f32 rounding).  With |t| <= 1/16 the
+    truncation is lam*t^8/8 < 6e-6 at lam = 2e5 and every term is
+    evaluated at its own scale, so the absolute error stays ~1e-4 over
+    the whole PTRS proposal range (the 1/16 domain reaches 6.2 sigma
+    even at lam = 1e4); |t| > 1/16 keeps the library log1p, where the
+    pmf is so far below the acceptance threshold that the amplified
+    error is immaterial.  The Stirling tail is exact to ~1e-8 for
+    k >= 8; lanes with k < 8 (possible only via the tiny-us proposal
+    tail) fall back to the naive form, which is safe there because the
+    result is dominated by the exactly-representable ``-lam``.
+    """
+    d = k - lam
+    kk = jnp.maximum(k, 1.0)
+    t = jnp.where(k >= 8.0, d / lam, 0.0)      # log1p(-1) guard for k=0
+    r = t * t * (-1.0 / 2.0 + t * (1.0 / 3.0 + t * (
+        -1.0 / 4.0 + t * (1.0 / 5.0 + t * (-1.0 / 6.0 + t * (1.0 / 7.0))))))
+    core = jnp.where(jnp.abs(t) <= 0.0625,
+                     -(d * d) / lam - k * r,
+                     d - k * jnp.log1p(t))
+    stable = (core
+              - 0.5 * jnp.log(2.0 * jnp.pi * kk)
+              - (1.0 / 12.0 - (1.0 / 360.0) / (kk * kk)) / kk)
+    naive = k * loglam - lam - gammaln(k + 1.0)
+    return jnp.where(k >= 8.0, stable, naive)
 
 
 def _small_inversion(u, lam):
@@ -114,7 +200,7 @@ def poisson_ptrs(key, lam):
             k < 0.0, jnp.logical_and(us < 0.013, v > us))
         log_accept = (jnp.log(v) + jnp.log(invalpha)
                       - jnp.log(a / jnp.maximum(us * us, tiny) + b))
-        slow_accept = log_accept <= (k * loglam - big_lam - gammaln(k + 1.0))
+        slow_accept = log_accept <= _ptrs_log_pmf(k, big_lam, loglam)
         accept = jnp.logical_or(fast_accept,
                                 jnp.logical_and(~reject, slow_accept))
         take = jnp.logical_and(~done, accept)

@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 from scipy import stats
 
-from mcmctoffitting_tpu.ops.poisson import poisson_ptrs
+from mcmctoffitting_tpu.ops.poisson import _ptrs_log_pmf, poisson_ptrs
 
 
 def _draws(lam, n=200_000, impl="threefry2x32", seed=0):
@@ -73,6 +73,36 @@ def test_deterministic_under_fixed_key():
     a = _draws(20.0, 1000, seed=3)
     b = _draws(20.0, 1000, seed=3)
     assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("lam", [10.0, 100.0, 1e3, 1e4, 1e5, 2e5])
+def test_slow_accept_log_pmf_stable_at_large_lam(lam):
+    """The PTRS slow-accept compares log(v)-scale O(1) quantities against
+    the Poisson log-pmf; the naive f32 ``k*log(lam) - lam - gammaln(k+1)``
+    carries ~1e-2 absolute rounding at lam = 1e4 (enough to bias the
+    sampler's variance by +2%), and even the d-centred rewrite's
+    ``k*log1p(d/lam)`` amplifies the BACKEND log1p's ~1e-6 absolute f32
+    error to ~0.2 at lam = 1e5 (-1.3% variance, caught on-chip by
+    artifacts/pallas_poisson_validation.json).  The in-place small-t
+    expansion must track scipy's f64 log-pmf to ~3e-4 absolute across
+    the whole proposal range, INCLUDING the k < 8 tail lanes."""
+    ks = np.unique(np.concatenate([
+        np.arange(0.0, 9.0),                                  # tail lanes
+        np.round(lam + np.sqrt(lam) * np.linspace(-8, 8, 81)),
+    ]))
+    ks = ks[ks >= 0.0].astype(np.float32)
+    got = np.asarray(_ptrs_log_pmf(
+        jnp.asarray(ks), jnp.float32(lam), jnp.float32(np.log(lam))))
+    want = stats.poisson.logpmf(ks.astype(np.float64), lam)
+    # the k<8 naive branch at huge lam is dominated by -lam (exact); its
+    # log-pmf is ~-1e5 where absolute slack scales with the magnitude
+    tol = 3e-4 + 3e-7 * np.abs(want)
+    # beyond the |t| <= 1/16 series domain (> 6.2 sigma at lam = 1e4) the
+    # library log1p branch carries its k-amplified backend error — by
+    # construction that far tail is >= 19 nats below the peak, where a
+    # ~0.3 slack cannot influence the acceptance
+    tol = np.where(np.abs(ks - lam) > lam / 16.0, 0.3, tol)
+    assert np.all(np.abs(got - want) < tol), np.abs(got - want).max()
 
 
 def test_small_branch_pmf_head():

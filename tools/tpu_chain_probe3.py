@@ -114,3 +114,4 @@ print(f"\nstage deltas (ms/iter): chain(exp) {t_exp - t_floor:.3f} | "
 for w in (128, 2048):
     comp = chained(lambda k, p: logp(p, k), theta_full, w=w)
     steady(f"joint logp W={w:5d}  ", comp, theta_full, w=w)
+
