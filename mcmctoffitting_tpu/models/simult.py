@@ -201,12 +201,19 @@ class SimultFitProblem:
     def initial_walkers_from_observed(self, key, n_walkers, observed):
         """guesses + agitators * randn (tests/simultFit.py:679-684); per-run
         scale guesses/agitators come from the observed totals, as in the
-        reference (tests/simultFit.py:543-546)."""
+        reference (tests/simultFit.py:543-546).  Clipped into the prior box
+        (same as the oneBD problem): the raw normal agitation can land a
+        walker outside the box (e.g. eLoss sigma=50 vs the 600..1000
+        bounds), where lnprior = -inf DETERMINISTICALLY — the reference
+        waits for emcee to walk it back in, wasting its early steps; we
+        start every walker at a valid point instead."""
         guesses = self.guess_theta(observed)
         agitators = np.concatenate([AGITATORS_SHARED,
                                     0.15 * guesses[4: 4 + self.n_runs]])
         noise = jax.random.normal(key, (n_walkers, self.n_dim))
-        return jnp.asarray(guesses) + jnp.asarray(agitators) * noise
+        p0 = jnp.asarray(guesses) + jnp.asarray(agitators) * noise
+        return jnp.clip(p0, jnp.asarray(self.param_lo) + 1e-3,
+                        jnp.asarray(self.param_hi) - 1e-3)
 
     def shared_params(self, theta):
         """(beamE, eLoss, scale, s) from a full theta (for PPC tooling).

@@ -99,7 +99,22 @@ def make_logp_batch(log_prob_fn: Callable, *, stochastic: bool = True,
 
 
 def init_state(key, p0, logp_batch) -> EnsembleState:
-    """Evaluate initial log-probs and build a state. p0: (W, D)."""
+    """Evaluate initial log-probs and build a state. p0: (W, D).
+
+    Pseudo-marginal init guard: the likelihood is a stochastic estimator
+    (fresh MC draws per eval), so a walker's FIRST logp can come out
+    -inf on an unlucky draw (e.g. a zero model bin against nonzero
+    observed counts) even at a perfectly healthy position — and which
+    walker it hits is f32-rounding- (hence machine-) dependent.  The
+    chain recovers on its own (-inf current state accepts the next valid
+    proposal), but the first few recorded steps then carry -inf rows.
+    Before the chain starts, the (position, estimate) pair may be drawn
+    any way we like, so refresh the estimate of non-finite walkers up to
+    8 times (positions unchanged; walkers that are -inf DETERMINISTICALLY
+    — outside the prior box — stay -inf, as they should).  When the
+    first draw is already all-finite this consumes no extra randomness
+    and is bitwise identical to the unguarded init.
+    """
     p0 = jnp.asarray(p0, dtype=jnp.float32)
     n_walkers = p0.shape[0]
     if n_walkers % 2:
@@ -108,6 +123,20 @@ def init_state(key, p0, logp_batch) -> EnsembleState:
             f"got {n_walkers}")
     key, k0 = jax.random.split(key)
     lp0 = logp_batch(p0, jax.random.split(k0, n_walkers))
+
+    def _any_bad(carry):
+        tries, lp = carry
+        return jnp.logical_and(tries < 8,
+                               jnp.logical_not(jnp.all(jnp.isfinite(lp))))
+
+    def _refresh(carry):
+        tries, lp = carry
+        kr = jax.random.fold_in(k0, tries + 1)
+        lp_new = logp_batch(p0, jax.random.split(kr, n_walkers))
+        return tries + 1, jnp.where(jnp.isfinite(lp), lp, lp_new)
+
+    _, lp0 = jax.lax.while_loop(
+        _any_bad, _refresh, (jnp.asarray(0, jnp.int32), lp0))
     return EnsembleState(p0, lp0, key, jnp.asarray(0, jnp.int32))
 
 

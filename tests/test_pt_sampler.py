@@ -101,8 +101,6 @@ def test_pt_on_reduced_tof_posterior_traverses_ridge():
     ridge under the corrected likelihood; the cold chain of a short PT run
     must traverse a macroscopic stretch of it and the inter-rung swaps
     must actually fire."""
-    import numpy as np
-
     from mcmctoffitting_tpu.cli.shifting_gaussian import main
 
     out = main(["-model", "tof", "-nTemps", "4", "-ptWalkers", "16",
@@ -135,8 +133,6 @@ def test_adaptive_ladder_equalizes_swap_acceptance():
     """sample_pt_adaptive (Vousden-style): starting from a deliberately
     lopsided ladder, the interior pair swap acceptances must end up closer
     to uniform than they started, posteriors staying correct."""
-    import numpy as np
-
     from mcmctoffitting_tpu.models import shifting_gaussian as sg
     from mcmctoffitting_tpu.sampler.pt import sample_pt, sample_pt_adaptive
 

@@ -102,3 +102,44 @@ def test_walkers_do_not_collapse():
                    stochastic=False)
     final = np.asarray(chain.positions[-1])
     assert np.unique(final[:, 0]).size > 16
+
+
+def test_init_state_refreshes_unlucky_stochastic_logp():
+    """Pseudo-marginal init guard: a stochastic likelihood that comes up
+    -inf on some evals must not seed the chain with -inf rows when a
+    finite estimate exists at the same position; deterministically-
+    invalid positions (prior box) must STAY -inf."""
+    def flaky_logp(theta, key):
+        # ~half of estimator draws are -inf at any position; x>5 is
+        # outside the "prior box" and always -inf
+        bad_draw = jax.random.uniform(key, ()) < 0.5
+        out_of_box = theta[0] > 5.0
+        return jnp.where(jnp.logical_or(bad_draw, out_of_box),
+                         -jnp.inf, -0.5 * jnp.sum(theta ** 2))
+
+    logp_batch = make_logp_batch(flaky_logp, stochastic=True)
+    p0 = 0.1 * jax.random.normal(jax.random.PRNGKey(20), (32, 2))
+    s0 = init_state(jax.random.PRNGKey(21), p0, logp_batch)
+    # P(all 8 refreshes -inf) = 2^-9 per walker; seed chosen green
+    assert np.all(np.isfinite(np.asarray(s0.log_probs)))
+
+    p_bad = p0.at[3, 0].set(9.0)  # deterministically outside the box
+    s1 = init_state(jax.random.PRNGKey(21), p_bad, logp_batch)
+    lp = np.asarray(s1.log_probs)
+    assert lp[3] == -np.inf and np.isfinite(np.delete(lp, 3)).all()
+
+
+def test_init_state_bitwise_unchanged_when_first_draw_finite():
+    """The guard consumes no randomness when the first eval is finite:
+    the state must carry exactly the unguarded derivation — logps from
+    the first split of PRNGKey and the chain key from the other half."""
+    logp_batch = make_logp_batch(gaussian_logp, stochastic=False)
+    p0 = jnp.asarray(
+        0.1 * jax.random.normal(jax.random.PRNGKey(22), (16, 2)),
+        jnp.float32)
+    s0 = init_state(jax.random.PRNGKey(23), p0, logp_batch)
+    key, k0 = jax.random.split(jax.random.PRNGKey(23))
+    want_lp = logp_batch(p0, jax.random.split(k0, 16))
+    np.testing.assert_array_equal(np.asarray(s0.log_probs),
+                                  np.asarray(want_lp))
+    np.testing.assert_array_equal(np.asarray(s0.key), np.asarray(key))
