@@ -28,6 +28,7 @@ compiling one program per (spec, window) pair.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -534,6 +535,40 @@ def _add_background(spec: ForwardSpec, spectrum, bg_level, key, n_bins):
         key, jnp.full((n_bins,), bg_level)).astype(spectrum.dtype)
 
 
+def _segments_hist_auto(spec: ForwardSpec, base_tof, draws, zt, zw,
+                        windows):
+    """Backend dispatch for the zero-degree-segments TOF histogram stage.
+
+    TPU: the fused Pallas kernel (ops/pallas_tof.py) — the stage is HBM
+    one-hot-traffic-bound in XLA (tools/tpu_joint_probe.py, r4); the
+    kernel keeps the whole expansion + radix contraction VMEM-resident.
+    CPU/other backends (and windows wider than the kernel's 128-bin
+    capacity): the expand-then-contract XLA path.  Override with
+    MCMCTOF_TOF_HIST=xla|pallas.  Same np.histogram semantics and weight
+    rounding class either way; f32 accumulation ORDER differs, so the
+    backends agree to summation noise, not bitwise (pinned by
+    tests/test_pallas_tof.py).
+
+    base_tof/draws: (R, M, Be); zt/zw: (Be, K).  Returns (R, n_pad).
+    """
+    choice = os.environ.get("MCMCTOF_TOF_HIST", "auto")
+    use_pallas = (jax.default_backend() == "tpu" if choice == "auto"
+                  else choice == "pallas")
+    n_pad = max(w.n_bins for w in windows)
+    if use_pallas and n_pad <= 128:
+        from ..ops.pallas_tof import make_tof_hist_segments
+        fn = make_tof_hist_segments(
+            tuple(windows), int(base_tof.shape[-2]),
+            int(base_tof.shape[-1]), int(zt.shape[-1]))
+        return fn(base_tof, draws, zt, zw)
+    n_runs = base_tof.shape[-3]
+    values = base_tof[..., None] + zt                    # (R, M, Be, K)
+    weights = draws[..., None] * zw
+    return weighted_histogram_multi_window(
+        values.reshape(n_runs, -1), windows, weights.reshape(n_runs, -1),
+        chunk=spec.histogram_chunk, radix=spec.tof_hist_radix)
+
+
 def cell_tof_lattice(spec: ForwardSpec, standoff: float, e0_mean):
     """Step 4: closed-form TOF value for every (x-bin, eD-bin) lattice cell.
 
@@ -592,16 +627,14 @@ def tof_spectrum(key, params, spec: ForwardSpec, standoff: float,
 
     if spec.zero_degree == "segments":
         zt, zw = _zero_degree_spread(spec)                # (Be, K) x2
-        values = base_tof[:, :, None] + zt[None, :, :]
-        weights = draws[:, :, None] * zw[None, :, :]
+        hist = _segments_hist_auto(spec, base_tof[None], draws[None],
+                                   zt, zw, (window,))[0]
     else:
-        values = base_tof
-        weights = draws
-
-    hist = weighted_histogram(values.reshape(-1), window.lo, window.hi,
-                              window.n_bins, weights.reshape(-1),
-                              chunk=spec.histogram_chunk,
-                              radix=spec.tof_hist_radix)
+        hist = weighted_histogram(base_tof.reshape(-1), window.lo,
+                                  window.hi, window.n_bins,
+                                  draws.reshape(-1),
+                                  chunk=spec.histogram_chunk,
+                                  radix=spec.tof_hist_radix)
     if get_pdf:
         hist = histogram_density(hist, window.lo, window.hi)
 
@@ -676,16 +709,14 @@ def tof_spectra_multi(run_keys, params, spec: ForwardSpec,
         jnp.asarray(standoffs, jnp.float32), e0_means)    # (R, M, Be)
     if spec.zero_degree == "segments":
         zt, zw = _zero_degree_spread(spec)                # (Be, K) x2
-        values = base_tof[..., None] + zt                 # (R, M, Be, K)
-        weights = draws[..., None] * zw
+        hist = _segments_hist_auto(spec, base_tof, draws, zt, zw,
+                                   windows)               # (R, n_pad)
     else:
-        values = base_tof
-        weights = draws
-
-    hist = weighted_histogram_multi_window(
-        values.reshape(n_runs, -1), windows, weights.reshape(n_runs, -1),
-        chunk=spec.histogram_chunk,
-        radix=spec.tof_hist_radix)                        # (R, n_pad)
+        hist = weighted_histogram_multi_window(
+            base_tof.reshape(n_runs, -1), windows,
+            draws.reshape(n_runs, -1),
+            chunk=spec.histogram_chunk,
+            radix=spec.tof_hist_radix)                    # (R, n_pad)
     if get_pdf:
         bin_widths = np.asarray([(w.hi - w.lo) / w.n_bins for w in windows],
                                 np.float32)[:, None]

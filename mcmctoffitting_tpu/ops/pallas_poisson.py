@@ -220,5 +220,11 @@ def _poisson_pallas_vmap(axis_size, in_batched, seed, lam):
                                 jax.lax.bitwise_xor, (0,))
         seed = folded[:2]
     flat = lam.reshape(-1, lam.shape[-1])
-    out = _poisson_pallas_2d(seed, flat).reshape(lam.shape)
+    # recurse through the custom-vmap function (NOT _poisson_pallas_2d):
+    # under NESTED vmap (e.g. walkers outer x runs inner when the run
+    # axis is batched) the outer batch level then hits this same rule and
+    # collapses too — calling the kernel directly would leave the outer
+    # level to JAX's default pallas batching, which cannot batch the
+    # SMEM seed operand (BlockSpec error)
+    out = poisson_pallas(seed, flat).reshape(lam.shape)
     return out, True
