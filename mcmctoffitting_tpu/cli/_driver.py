@@ -334,12 +334,12 @@ def run_gradient_sampler(args, problem, observed, *, names):
     posterior — beyond the reference, whose MC + sawtooth likelihood has
     no usable gradient anywhere.  See :func:`resolve_gradient_spec`.
 
-    Chains run in standardized coordinates (the raw parameters span 5+
-    orders of magnitude — the same lesson as utils/optimize's unit-box
-    scaling); NUTS additionally adapts a diagonal metric during warm-up
-    (Stan-style windows, sampler/nuts.py).  The main chain lands in the
-    same emcee-text format as the ensemble path, so plot_chain / ppc /
-    the diagnostics report work unchanged.
+    Chains run in box-logit coordinates (sampler/transforms.py: the
+    Stan-style constrained-parameter transform — prior-box faces at
+    infinity, O(1) per-dimension scale); NUTS additionally adapts a
+    diagonal metric during warm-up (Stan-style windows, sampler/nuts.py).
+    The main chain lands in the same emcee-text format as the ensemble
+    path, so plot_chain / ppc / the diagnostics report work unchanged.
     """
     import json
 
@@ -348,41 +348,46 @@ def run_gradient_sampler(args, problem, observed, *, names):
 
     from ..utils import chain_io
 
+    from ..sampler.transforms import BoxLogitTransform
+
     logp_full = problem.make_log_prob_fn(observed)
     key = jax.random.PRNGKey(args.seed)
     key0 = jax.random.fold_in(key, 7)   # unused: deterministic likelihood
-    center = jnp.asarray(problem.guess_theta(observed), jnp.float32)
-    # per-parameter scales from the problem's OWN walker-initialization
-    # spread (the reference's guess agitators): box widths are useless
-    # here — the norm boxes span five decades, so (hi-lo)/k standardizes
-    # N to ~1e6-scale units and the chains would start outside the box.
-    # NUTS's warm-up metric refines whatever this misses.
+    # Box-logit coordinates (sampler/transforms.py): the prior box's
+    # faces move to infinity (no more -inf leapfrog cliffs — the linear
+    # standardization this replaces ran the flagship at a 46% divergence
+    # rate) and each dimension is O(1) regardless of the five-decade
+    # span of the norm boxes.  NUTS's warm-up metric refines the rest.
     n_chains = args.nChains
+    tr = BoxLogitTransform(problem.param_lo, problem.param_hi)
+    logp_u = tr.wrap_logp(lambda theta: logp_full(theta, key0))
     cloud = np.asarray(problem.initial_walkers_from_observed(
         jax.random.fold_in(key, 3), max(256, n_chains), observed))
-    scales = jnp.asarray(np.maximum(cloud.std(axis=0), 1e-6), jnp.float32)
-
-    def logp_u(u):
-        return logp_full(center + scales * u, key0)
 
     n_warmup = 10 if args.debug else args.nBurninSteps
     n_steps = 10 if args.debug else args.nMainSteps
-    # start from the problem's initial-walker law, standardized
-    p0 = (jnp.asarray(cloud[: n_chains], jnp.float32) - center) / scales
+    # start from the problem's initial-walker law, transformed
+    p0 = tr.to_u(jnp.asarray(cloud[: n_chains], jnp.float32))
     print(f"{args.sampler}: {n_chains} chains x {n_warmup} warmup "
-          f"+ {n_steps} steps (standardized coordinates)")
+          f"+ {n_steps} steps (box-logit coordinates)")
     import contextlib
 
     from ..utils import profiling
     prof = (profiling.trace(args.profile) if args.profile
             else contextlib.nullcontext())
+    # bound each device dispatch to ~64 transitions: a multi-thousand-step
+    # NUTS/HMC scan is one gigantic dispatch, which remote-transport TPU
+    # backends (the axon tunnel here) kill — taking the device down with
+    # it.  Bitwise-identical to the single-scan program (_adapt.py).
+    seg = 64 if jax.default_backend() != "cpu" else 0
     t0 = time.time()
     with prof:
         if args.sampler == "nuts":
             from ..sampler.nuts import nuts_sample
             chain = nuts_sample(jax.random.fold_in(key, 2), p0, n_steps,
                                 logp_u, n_warmup=n_warmup,
-                                max_depth=args.maxDepth)
+                                max_depth=args.maxDepth,
+                                segment_steps=seg)
             accept = np.asarray(chain.accept_stat)
             n_div = int(np.sum(np.asarray(chain.diverging)))
             extra = (f"nuts: step_size {chain.step_size:.4g}, "
@@ -392,11 +397,11 @@ def run_gradient_sampler(args, problem, observed, *, names):
         else:
             from ..sampler.hmc import hmc_sample
             chain = hmc_sample(jax.random.fold_in(key, 2), p0, n_steps,
-                               logp_u, n_warmup=n_warmup)
+                               logp_u, n_warmup=n_warmup,
+                               segment_steps=seg)
             accept = np.asarray(chain.accept_prob)
             extra = f"hmc: step_size {chain.step_size:.4g}"
-        positions = (np.asarray(center)
-                     + np.asarray(scales) * np.asarray(chain.positions))
+        positions = np.asarray(tr.to_theta(chain.positions))
     elapsed = time.time() - t0
     if args.profile:
         print(f"profiler trace written to {args.profile}")
@@ -633,6 +638,16 @@ def build_logp_batch(logp, args, n_walkers=None):
         n_fit = len(devices)
         while n_fit > 1 and (n_walkers // 2) % n_fit:
             n_fit -= 1
+        if n_fit < len(devices):
+            # loud: the old behavior was a divisibility ERROR; silently
+            # running -walkers 1022 on 1 of 8 chips is a huge slowdown
+            per = (n_walkers // 2 // n_fit) * 2 * len(devices)
+            print(f"WARNING: half-ensemble ({n_walkers}/2 walkers) does "
+                  f"not divide across {len(devices)} devices; using "
+                  f"{n_fit} and idling {len(devices) - n_fit} — pick a "
+                  f"walker count divisible by 2*{len(devices)} (e.g. "
+                  f"-walkers {max(per, 2 * len(devices))}) to use the "
+                  "full mesh")
         devices = devices[:n_fit]
     chunk = args.chunkWalkers or None
     if len(devices) > 1:

@@ -228,4 +228,38 @@ def make_tof_hist_segments(windows, m_bins: int, be_bins: int,
         out = out.reshape(base_tof.shape[:-3] + out.shape[-2:])
         return out, True
 
-    return fn
+    # --- autodiff: the histogram is LINEAR in the draws weights, and its
+    # bin assignment (floor/compare of base_tof + zt) has zero gradient
+    # a.e. — exactly the gradient the XLA expand-then-contract path gets,
+    # where the one-hot comparisons are non-differentiable constants.  A
+    # custom VJP (forward = the Pallas kernel, backward = one gather of
+    # the output cotangent at each sample's bin) makes the fused stage
+    # usable under the gradient samplers (-sampler nuts|hmc on the
+    # expected forward), which reverse-differentiate the whole spectrum.
+    @jax.custom_vjp
+    def fn_ad(base_tof, draws, zt, zw):
+        return fn(base_tof, draws, zt, zw)
+
+    def _fn_fwd(base_tof, draws, zt, zw):
+        return fn(base_tof, draws, zt, zw), (base_tof, zt, zw)
+
+    def _fn_bwd(res, gbar):
+        base_tof, zt, zw = res
+        # shapes here are the UNBATCHED contract — (R, M, Be) / (R, n_pad)
+        # — because vmap batches custom_vjp rules itself (the sampler's
+        # walker/chain axes never reach this body unbatched).
+        grads = []
+        for r in range(n_runs):
+            lo, hi, scale, nb1 = win_consts[r]
+            v = base_tof[r][:, :, None] + zt[None, :, :]   # (M, Be, K)
+            idx = jnp.clip(jnp.floor((v - lo) * scale).astype(jnp.int32),
+                           0, nb1)
+            ok = jnp.logical_and(v >= lo, v <= hi)
+            g = jnp.where(ok, jnp.take(gbar[r], idx, axis=0), 0.0)
+            grads.append(jnp.sum(g * zw[None, :, :], axis=-1))
+        grad_draws = jnp.stack(grads).astype(base_tof.dtype)
+        return (jnp.zeros_like(base_tof), grad_draws,
+                jnp.zeros_like(zt), jnp.zeros_like(zw))
+
+    fn_ad.defvjp(_fn_fwd, _fn_bwd)
+    return fn_ad

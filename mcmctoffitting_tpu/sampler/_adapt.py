@@ -4,9 +4,19 @@ Used by both gradient samplers (hmc.py, nuts.py).  The whole warm-up runs
 as ONE ``lax.scan`` program — the dual-averaging update is four lines of
 scalar arithmetic and rides in the scan carry, so there are no per-step
 host round-trips (on TPU those are pure latency).
+
+``scan_segments`` bounds DISPATCH length instead: a NUTS chain segment of
+thousands of steps x up-to-2^max_depth gradient evals is one gigantic
+device dispatch, which the remote-TPU transport in this environment kills
+(and with it the whole backend — measured: the axon tunnel wedges after
+the fault).  Segmenting the scan at the host keeps every dispatch bounded
+while computing the IDENTICAL iteration sequence — the carry round-trips
+through the host between segments, results are bitwise-equal to the
+single-scan program (pinned by tests/test_nuts.py).
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
@@ -17,13 +27,38 @@ _T0 = 10.0
 _KAPPA = 0.75
 
 
+def scan_segments(f, carry, xs, segment_steps: int = 0):
+    """``lax.scan(f, carry, xs)``, dispatched in host-bounded segments.
+
+    ``segment_steps <= 0`` (or >= len(xs)) runs the single-program scan.
+    Otherwise the scan executes in ceil(n/segment_steps) jitted dispatches
+    whose per-iteration computation is identical — same f, same xs slices
+    in the same order — so the result matches the single scan bitwise.
+    """
+    n = jax.tree_util.tree_leaves(xs)[0].shape[0]
+    if segment_steps <= 0 or segment_steps >= n:
+        return jax.lax.scan(f, carry, xs)
+    seg = jax.jit(functools.partial(jax.lax.scan, f))
+    outs = []
+    for s in range(0, n, segment_steps):
+        block = jax.tree_util.tree_map(
+            lambda x: x[s: s + segment_steps], xs)
+        carry, out = seg(carry, block)
+        outs.append(out)
+    stacked = jax.tree_util.tree_map(
+        lambda *o: jnp.concatenate(o, axis=0), *outs)
+    return carry, stacked
+
+
 def dual_averaging_warmup(key, state, one_step: Callable, n_warmup: int,
-                          init_step_size: float, target_accept: float):
+                          init_step_size: float, target_accept: float,
+                          segment_steps: int = 0):
     """Adapt the step size over ``n_warmup`` iterations.
 
     ``one_step(state, step_size, key) -> (state, alpha)`` advances the
     sampler one transition; ``alpha`` is the per-chain acceptance
     statistic (any shape — its mean drives the adaptation).
+    ``segment_steps`` bounds dispatch length (see :func:`scan_segments`).
 
     Returns (warmed state, adapted step size as a float32 scalar array).
     """
@@ -51,7 +86,7 @@ def dual_averaging_warmup(key, state, one_step: Callable, n_warmup: int,
 
     # log_eps_bar starts at log_eps0 so n_warmup=0 returns init_step_size
     # (not exp(0)); indices scan as int32 (exact for any n_warmup)
-    (state, _, log_eps_bar, _), _ = jax.lax.scan(
+    (state, _, log_eps_bar, _), _ = scan_segments(
         body, (state, log_eps0, log_eps0, jnp.float32(0.0)),
-        jnp.arange(n_warmup, dtype=jnp.int32))
+        jnp.arange(n_warmup, dtype=jnp.int32), segment_steps)
     return state, jnp.exp(log_eps_bar)

@@ -64,7 +64,7 @@ def _leapfrog(logp_and_grad, q, p, grad, step_size, n_steps_max, n_active,
 def hmc_sample(key, p0, n_steps: int, log_prob_fn: Callable, *,
                n_warmup: int = 200, n_leapfrog: int = 16,
                init_step_size: float = 0.1, target_accept: float = 0.8,
-               jitter: float = 0.2):
+               jitter: float = 0.2, segment_steps: int = 0):
     """Run C parallel HMC chains. p0: (C, D). Returns HMCChain.
 
     Warm-up adapts the step size by dual averaging; sampling keeps it fixed
@@ -73,6 +73,8 @@ def hmc_sample(key, p0, n_steps: int, log_prob_fn: Callable, *,
     drawn uniformly from ``[(1-jitter)*L, (1+jitter)*L]`` (Neal's jittered
     trajectories — avoids the resonance pathologies NUTS solves with its
     dynamic tree, while keeping a static-shape program).
+    ``segment_steps > 0`` caps dispatch length, bitwise-identically
+    (sampler/_adapt.scan_segments — see nuts_sample's note).
     """
     p0 = jnp.asarray(p0, dtype=jnp.float32)
     n_chains, n_dim = p0.shape
@@ -103,14 +105,14 @@ def hmc_sample(key, p0, n_steps: int, log_prob_fn: Callable, *,
         grad = jnp.where(accept[:, None], grad_new, grad)
         return (q, lp, grad), jnp.exp(log_alpha)
 
-    from ._adapt import dual_averaging_warmup
+    from ._adapt import dual_averaging_warmup, scan_segments
 
     def warm_step(state, eps, k):
         return one_step((state[0], state[1], state[2], None), eps, k)
 
     state, eps = dual_averaging_warmup(key, (p0, lp0, g0), warm_step,
                                        n_warmup, init_step_size,
-                                       target_accept)
+                                       target_accept, segment_steps)
     step_size = float(eps)
 
     # --- sampling ---
@@ -121,7 +123,8 @@ def hmc_sample(key, p0, n_steps: int, log_prob_fn: Callable, *,
         return new_state, (new_state[0], new_state[1], alpha)
 
     keys = jax.random.split(jax.random.fold_in(key, 999_999), n_steps)
-    _, (qs, lps, alphas) = jax.lax.scan(scan_step, state, keys)
+    _, (qs, lps, alphas) = scan_segments(scan_step, state, keys,
+                                         segment_steps)
     return HMCChain(qs, lps, alphas, step_size)
 
 

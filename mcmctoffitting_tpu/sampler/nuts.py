@@ -247,7 +247,8 @@ def nuts_sample(key, p0, n_steps: int, log_prob_fn: Callable, *,
                 n_warmup: int = 300, max_depth: int = 8,
                 init_step_size: float = 0.1,
                 target_accept: float = 0.8,
-                adapt_mass: bool = True) -> NUTSChain:
+                adapt_mass: bool = True,
+                segment_steps: int = 0) -> NUTSChain:
     """Run C parallel NUTS chains.  p0: (C, D).
 
     Warm-up (Stan-style windows): (1) dual-averaging step-size adaptation
@@ -256,6 +257,13 @@ def nuts_sample(key, p0, n_steps: int, log_prob_fn: Callable, *,
     dual-averaging run under the adapted diagonal metric.  Sampling keeps
     both fixed.  ``adapt_mass=False`` restores the single-window identity
     -metric warm-up (standardize parameters beforehand in that case).
+
+    ``segment_steps > 0`` caps every device dispatch at that many NUTS
+    transitions (warm-up windows and main chain alike) with bitwise-
+    identical results (sampler/_adapt.scan_segments) — required on
+    remote-transport TPU backends where one multi-thousand-step scan of
+    up-to-2^max_depth gradient evals exceeds the dispatch deadline and
+    wedges the device.
     """
     p0 = jnp.asarray(p0, dtype=jnp.float32)
     n_chains, n_dim = p0.shape
@@ -270,7 +278,7 @@ def nuts_sample(key, p0, n_steps: int, log_prob_fn: Callable, *,
         return vtrans(logp_grad, z, lp, g, keys, eps, max_depth, inv_mass)
 
     # --- dual-averaging warm-up: one scanned program (sampler/_adapt.py)
-    from ._adapt import dual_averaging_warmup
+    from ._adapt import dual_averaging_warmup, scan_segments
 
     def make_warm_step(inv_mass):
         def warm_step(state, eps, k):
@@ -291,7 +299,7 @@ def nuts_sample(key, p0, n_steps: int, log_prob_fn: Callable, *,
         n_w2 = n_warmup - n_w1 - n_collect
         (z, lp, g), eps1 = dual_averaging_warmup(
             k_w1, (p0, lp0, g0), make_warm_step(inv_mass), n_w1,
-            init_step_size, target_accept)
+            init_step_size, target_accept, segment_steps)
 
         # collection window: per-dimension posterior variance -> metric
         def collect_step(carry, step_key):
@@ -300,7 +308,8 @@ def nuts_sample(key, p0, n_steps: int, log_prob_fn: Callable, *,
                                          inv_mass)
             return (z, lp, g), z
         ckeys = jax.random.split(k_collect, n_collect)
-        (z, lp, g), zs_c = jax.lax.scan(collect_step, (z, lp, g), ckeys)
+        (z, lp, g), zs_c = scan_segments(collect_step, (z, lp, g), ckeys,
+                                         segment_steps)
         # WITHIN-chain variance averaged over chains (pooled variance
         # would inflate the metric with between-chain dispersion from
         # unmixed/multimodal ensembles — Stan uses within-chain too)
@@ -312,14 +321,14 @@ def nuts_sample(key, p0, n_steps: int, log_prob_fn: Callable, *,
 
         (z, lp, g), eps = dual_averaging_warmup(
             k_w2, (z, lp, g), make_warm_step(inv_mass), n_w2,
-            float(eps1), target_accept)
+            float(eps1), target_accept, segment_steps)
     else:
         if adapt_mass and n_warmup > 0:
             print("nuts_sample: n_warmup < 60 — skipping mass adaptation "
                   "(identity metric)")
         (z, lp, g), eps = dual_averaging_warmup(
             k_w1, (p0, lp0, g0), make_warm_step(inv_mass), n_warmup,
-            init_step_size, target_accept)
+            init_step_size, target_accept, segment_steps)
     step_size = float(eps)
 
     # --- sampling: one scan program ---
@@ -330,6 +339,6 @@ def nuts_sample(key, p0, n_steps: int, log_prob_fn: Callable, *,
         return (z, lp, g), (z, lp, alpha, depth, div)
 
     keys = jax.random.split(k_main, n_steps)
-    _, (zs, lps, alphas, depths, divs) = jax.lax.scan(
-        scan_step, (z, lp, g), keys)
+    _, (zs, lps, alphas, depths, divs) = scan_segments(
+        scan_step, (z, lp, g), keys, segment_steps)
     return NUTSChain(zs, lps, alphas, depths, divs, step_size, inv_mass)

@@ -192,3 +192,33 @@ def test_mass_matrix_adaptation_handles_anisotropy():
                            n_warmup=200, max_depth=8, adapt_mass=False)
     depth_identity = float(np.mean(np.asarray(chain_id.tree_depth)))
     assert depth_adapted < depth_identity, (depth_adapted, depth_identity)
+
+
+def test_segmented_dispatch_is_bitwise_identical():
+    """segment_steps caps device dispatch length (remote-TPU transports
+    kill multi-thousand-step scan dispatches); the segmented execution
+    must reproduce the single-scan program EXACTLY — same transitions,
+    same adaptation, same draws."""
+    key = jax.random.PRNGKey(11)
+
+    def logp(x):
+        return -0.5 * jnp.sum(x ** 2)
+
+    p0 = jax.random.normal(jax.random.fold_in(key, 0), (4, 3))
+    one = nuts_sample(jax.random.fold_in(key, 1), p0, 90, logp,
+                      n_warmup=80)
+    seg = nuts_sample(jax.random.fold_in(key, 1), p0, 90, logp,
+                      n_warmup=80, segment_steps=16)
+    assert one.step_size == seg.step_size
+    np.testing.assert_array_equal(np.asarray(one.positions),
+                                  np.asarray(seg.positions))
+    np.testing.assert_array_equal(np.asarray(one.diverging),
+                                  np.asarray(seg.diverging))
+
+    h_one = hmc_sample(jax.random.fold_in(key, 2), p0, 60, logp,
+                       n_warmup=40)
+    h_seg = hmc_sample(jax.random.fold_in(key, 2), p0, 60, logp,
+                       n_warmup=40, segment_steps=16)
+    assert h_one.step_size == h_seg.step_size
+    np.testing.assert_array_equal(np.asarray(h_one.positions),
+                                  np.asarray(h_seg.positions))

@@ -152,3 +152,54 @@ def test_dispatch_stays_xla_on_cpu():
 def test_bin_capacity_guard():
     with pytest.raises(ValueError):
         make_tof_hist_segments((TofWindow(0.0, 1.0, 129),), M, BE, K)
+
+
+def test_gradient_matches_xla_path():
+    """The custom VJP: gradient flows only through the draws weights
+    (bin assignment is a.e.-constant), matching the XLA path's gradient
+    exactly up to the weight-rounding class."""
+    base, draws, zt, zw = _problem(4)
+    fn = _fn()
+    zt_j, zw_j = jnp.asarray(zt), jnp.asarray(zw)
+    rng = np.random.default_rng(11)
+    n_pad = max(w.n_bins for w in WINDOWS)
+    cvec = jnp.asarray(rng.standard_normal((len(WINDOWS), n_pad)),
+                       jnp.float32)
+
+    def loss_pallas(d):
+        return jnp.sum(fn(jnp.asarray(base), d, zt_j, zw_j) * cvec)
+
+    def loss_xla(d):
+        values = jnp.asarray(base)[..., None] + zt_j
+        weights = d[..., None] * zw_j
+        h = weighted_histogram_multi_window(
+            values.reshape(len(WINDOWS), -1), WINDOWS,
+            weights.reshape(len(WINDOWS), -1), chunk=4096, radix=16)
+        return jnp.sum(h * cvec)
+
+    g_pallas = np.asarray(jax.grad(loss_pallas)(jnp.asarray(draws)))
+    g_xla = np.asarray(jax.grad(loss_xla)(jnp.asarray(draws)))
+    scale = np.abs(g_xla).max()
+    np.testing.assert_allclose(g_pallas, g_xla, rtol=2e-2,
+                               atol=2e-2 * scale)
+    # base_tof / spread tables: a.e.-zero gradient by construction
+    gb = np.asarray(jax.grad(
+        lambda b: jnp.sum(fn(b, jnp.asarray(draws), zt_j, zw_j)))(
+            jnp.asarray(base)))
+    assert np.all(gb == 0.0)
+
+
+def test_gradient_under_vmap():
+    """grad-of-vmap — the NUTS usage shape (chain batch of walkers)."""
+    base, draws, zt, zw = _problem(5, w_batch=4)
+    fn = _fn()
+    zt_j, zw_j = jnp.asarray(zt), jnp.asarray(zw)
+
+    def loss(d):
+        out = jax.vmap(lambda b, dd: fn(b, dd, zt_j, zw_j))(
+            jnp.asarray(base), d)
+        return jnp.sum(out ** 2)
+
+    g = np.asarray(jax.grad(loss)(jnp.asarray(draws)))
+    assert g.shape == draws.shape
+    assert np.all(np.isfinite(g)) and np.abs(g).max() > 0.0
