@@ -57,7 +57,12 @@ class PTChain:
     n_swaps_accepted: jax.Array  # (T-1,)
     n_steps: jax.Array         # () total steps sampled (pre-thin)
     state: PTState
-    betas: jax.Array           # (T,) the ladder this chain was sampled at
+    # (T,) ladder the chain was sampled at, as a STATIC tuple of Python
+    # floats: a jnp data leaf would silently downcast the f64 ladder to
+    # f32 through any jit/device_put pytree round-trip (x64 off), and an
+    # np.ndarray leaf is unhashable as static — a tuple keeps full f64
+    # precision for the TI integral and survives transforms untouched
+    betas: tuple = dataclasses.field(metadata=dict(static=True))
 
     @property
     def acceptance_fraction(self):
@@ -407,9 +412,14 @@ def sample_pt_adaptive(key, p0, n_steps: int, loglike_fn, logprior_fn, *,
         pos, ll, lp, b_hist = (pos[::thin], ll[::thin], lp[::thin],
                                b_hist[::thin])
     betas_final = betas_of(log_gaps)
+    # same static-tuple representation as sample_pt's constructor (the
+    # adapted ladder is computed in f32 on device; the tuple just pins
+    # the values against further downcasts/retraces)
     chain = PTChain(pos, ll, lp, jnp.sum(acc, axis=0),
                     jnp.sum(swaps, axis=0),
-                    jnp.asarray(n_steps, jnp.int32), final, betas_final)
+                    jnp.asarray(n_steps, jnp.int32), final,
+                    tuple(float(b)
+                          for b in np.asarray(betas_final, np.float64)))
     return chain, betas_final, b_hist
 
 
@@ -450,4 +460,4 @@ def sample_pt(key, p0, n_steps: int, loglike_fn, logprior_fn, *,
     return PTChain(pos, ll, lp, jnp.sum(acc, axis=0),
                    jnp.sum(swaps, axis=0),
                    jnp.asarray(n_steps, jnp.int32), final,
-                   np.asarray(betas, np.float64))
+                   tuple(float(b) for b in np.asarray(betas, np.float64)))

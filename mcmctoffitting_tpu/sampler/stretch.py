@@ -124,19 +124,36 @@ def init_state(key, p0, logp_batch) -> EnsembleState:
     key, k0 = jax.random.split(key)
     lp0 = logp_batch(p0, jax.random.split(k0, n_walkers))
 
+    # Refresh keys: fold_in(k0, small) would collide with split(k0, n)'s
+    # outputs under threefry (fold_in(k0, i) IS the i-th split key), so
+    # the first refresh round would reuse walker 0's initial key tree —
+    # correlated estimator draws.  A large disjoint salt keeps the keys
+    # off the split range (n_walkers << 2**30) while preserving the
+    # bitwise-identical-when-finite property (no extra split consumed).
+    _REFRESH_SALT = 1 << 30
+
     def _any_bad(carry):
-        tries, lp = carry
-        return jnp.logical_and(tries < 8,
-                               jnp.logical_not(jnp.all(jnp.isfinite(lp))))
+        tries, lp, improved = carry
+        # stop early once a refresh round fixes nothing: walkers that are
+        # -inf DETERMINISTICALLY (outside the prior box) can never
+        # improve, and burning the remaining full-ensemble evals on them
+        # is pure waste (9x init cost for one bad walker)
+        return jnp.logical_and(
+            jnp.logical_and(tries < 8, improved),
+            jnp.logical_not(jnp.all(jnp.isfinite(lp))))
 
     def _refresh(carry):
-        tries, lp = carry
-        kr = jax.random.fold_in(k0, tries + 1)
+        tries, lp, _ = carry
+        kr = jax.random.fold_in(k0, _REFRESH_SALT + tries)
         lp_new = logp_batch(p0, jax.random.split(kr, n_walkers))
-        return tries + 1, jnp.where(jnp.isfinite(lp), lp, lp_new)
+        fixed = jnp.logical_and(jnp.isfinite(lp_new),
+                                jnp.logical_not(jnp.isfinite(lp)))
+        return (tries + 1, jnp.where(jnp.isfinite(lp), lp, lp_new),
+                jnp.any(fixed))
 
-    _, lp0 = jax.lax.while_loop(
-        _any_bad, _refresh, (jnp.asarray(0, jnp.int32), lp0))
+    _, lp0, _ = jax.lax.while_loop(
+        _any_bad, _refresh,
+        (jnp.asarray(0, jnp.int32), lp0, jnp.asarray(True)))
     return EnsembleState(p0, lp0, key, jnp.asarray(0, jnp.int32))
 
 
