@@ -101,12 +101,21 @@ def _setup(sampling: str):
         import dataclasses
         spec = dataclasses.replace(spec, tof_hist_radix=tof_radix)
     # run-axis A/B (ForwardSpec.run_axis: 'sequential' preset default /
-    # 'batched'); the landscape shifted with PTRS + halved grids, so the
-    # round-2 sequential verdict is re-measurable
+    # 'batched'); unset, apply the CLI's auto policy (cli/_driver.
+    # resolve_run_axis) so the headline measures what the production
+    # driver actually runs — batched at <= 512 walkers/device in counts
+    # mode (r5 crossover sweep), sequential above
     run_axis = os.environ.get("BENCH_RUN_AXIS", "")
     if run_axis:
         import dataclasses
         spec = dataclasses.replace(spec, run_axis=run_axis)
+    elif sampling == "counts":
+        import dataclasses
+        from mcmctoffitting_tpu.cli._driver import RUN_AXIS_CROSSOVER_WALKERS
+        n_dev = MESH or len(jax.devices())
+        axis = ("batched" if N_WALKERS / max(1, n_dev)
+                <= RUN_AXIS_CROSSOVER_WALKERS else "sequential")
+        spec = dataclasses.replace(spec, run_axis=axis)
     fine = int(os.environ.get("BENCH_FINE", "0"))
     if fine and spec.xs_mode == "e0grid":
         import dataclasses

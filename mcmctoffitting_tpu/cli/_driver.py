@@ -514,6 +514,16 @@ def add_common_flags(p, refs: dict) -> None:
     p.add_argument("-resume", default="", type=str,
                    help="resume the MAIN phase from a .ckpt.npz checkpoint "
                         "(skips burn-in; exact continuation incl. PRNG)")
+    p.add_argument("-runAxis", choices=["auto", "sequential", "batched"],
+                   default="auto",
+                   help="multi-run forward execution (ForwardSpec."
+                        "run_axis): sequential lax.map (best at "
+                        "saturating ensemble widths — the A-operator "
+                        "contraction reuses better streamed) or one "
+                        "vmapped batched program (best at small "
+                        "ensembles, where per-stage dispatches dominate)."
+                        "  auto picks by walkers/device (counts mode; "
+                        "crossover measured in RESULTS_r5.md)")
     p.add_argument("-gridMode", choices=["e0grid", "taylor"],
                    default="e0grid",
                    help="e0grid (default): static e0-space preimage grid "
@@ -615,6 +625,44 @@ def resolve_sampling(args):
     """
     sampling = "expected" if args.expectedForward else args.sampling
     return sampling, args.fineGrid or None
+
+
+# total-walkers-per-device crossover for the counts run axis: below this,
+# one batched 4-run program beats the sequential lax.map (per-stage
+# dispatch overhead dominates the half-ensemble's small kernels); above
+# it, streaming runs through the shared A operator wins.  Same-session
+# sweep on v5e, RESULTS_r5.md: 256w batched +8.6%, 512w ~wash, 1024w/
+# 2048w sequential ahead — the reference-default 256-walker headline
+# sits squarely in the batched regime.
+RUN_AXIS_CROSSOVER_WALKERS = 512
+
+
+def resolve_run_axis(args, spec, n_walkers):
+    """Finalize ForwardSpec.run_axis (-runAxis auto|sequential|batched).
+
+    auto applies only to the counts estimator — mc's batched run axis
+    holds an O(n_samples)-per-run working set (measured superlinear on
+    v5e, tools/tpu_ablate_simult.py) and the expected forward computes
+    ONE shared grid where the run axis never materializes.
+    """
+    import dataclasses
+
+    if args.runAxis != "auto":
+        if spec.run_axis == args.runAxis:
+            return spec
+        return dataclasses.replace(spec, run_axis=args.runAxis)
+    if spec.sampling != "counts":
+        return spec
+    import jax
+    n_devices = len(jax.devices())
+    if getattr(args, "mesh", 0):
+        n_devices = min(n_devices, args.mesh)
+    per_device = n_walkers / max(1, n_devices)
+    axis = ("batched" if per_device <= RUN_AXIS_CROSSOVER_WALKERS
+            else "sequential")
+    if spec.run_axis == axis:
+        return spec
+    return dataclasses.replace(spec, run_axis=axis)
 
 
 def build_logp_batch(logp, args, n_walkers=None):

@@ -87,6 +87,8 @@ def main(argv=None) -> dict:
         spec = dataclasses.replace(spec, bg_mode="expected")
     if args.momentClosure != "exact":
         spec = dataclasses.replace(spec, moment_closure=args.momentClosure)
+    from ._driver import resolve_run_axis
+    spec = resolve_run_axis(args, spec, n_walkers)
     if args.sampler != "ensemble":
         from ._driver import resolve_gradient_spec
         spec = resolve_gradient_spec(args, spec)

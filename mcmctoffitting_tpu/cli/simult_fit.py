@@ -65,6 +65,8 @@ def main(argv=None) -> dict:
     if args.momentClosure != "exact":
         import dataclasses
         spec = dataclasses.replace(spec, moment_closure=args.momentClosure)
+    from ._driver import resolve_run_axis
+    spec = resolve_run_axis(args, spec, n_walkers)
     if args.sampler != "ensemble":
         from ._driver import resolve_gradient_spec
         spec = resolve_gradient_spec(args, spec)
