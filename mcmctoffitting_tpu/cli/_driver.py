@@ -578,6 +578,16 @@ def add_common_flags(p, refs: dict) -> None:
                         "level logp shift is <0.06 sigma for any F >= 512 "
                         "and the halved counts grids pass posterior A/B "
                         "at |dz| <= 0.12 (RESULTS_r3.md)")
+    p.add_argument("-aDtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="dtype of the static e0grid A operator "
+                        "(models/forward._e0grid_contract).  bfloat16 "
+                        "halves the HBM bytes of the contraction — only "
+                        "material at the oneBD -hardcore scale, where A "
+                        "is 131 MB and the half-ensemble matmul streams "
+                        "it bandwidth-bound; grid error ~bf16 eps, far "
+                        "below the counts estimator's Poisson noise "
+                        "(RESULTS_r5.md A/B)")
     p.add_argument("-nThreads", default=0, type=int,
                    help="accepted for surface parity and ignored: walker "
                         "parallelism is a device-mesh array axis here, not "

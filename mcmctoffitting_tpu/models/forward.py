@@ -163,6 +163,22 @@ class ForwardSpec:
     # the final weighted grid differs from f32 by <1e-5 relative (the
     # sigma*M0 term dominates) — far below Monte-Carlo noise.
     moment_dtype: str = "float32"
+    # dtype of the static A operator in the e0grid contraction
+    # (_e0grid_contract).  At the default simult shapes A is ~4 MB and
+    # f32 is free; at the oneBD -hardcore scale A is (4F=4096,
+    # M*Be=8000) = 131 MB and the per-half-ensemble (W=128) contraction
+    # is HBM-bandwidth-bound on streaming A — bf16 halves the bytes (and
+    # quadruples the MXU rate if it ever turns compute-bound).
+    # Accuracy (measured, tests/test_e0grid.py): the contraction
+    # reconstructs a cubic from GLOBAL t-moments, which cancels across
+    # the four channel rows with condition ~16, so rounding A costs
+    # ~16x bf16 eps: median grid error ~1.6%, max ~6% of the grid's
+    # dominant scale.  That is below the hardcore counts estimator's
+    # ~9% per-cell Poisson noise but is a systematic perturbation, not
+    # noise — the knob stays OFF everywhere until a posterior-level A/B
+    # gates a preset flip (RESULTS_r5.md).  A cancellation-free bf16
+    # path needs the A build re-expressed in per-cell CENTERED moments.
+    a_dtype: str = "float32"
     # radix factorization of the moment one-hot: 0 = direct (..== bins over
     # all Be columns); L > 0 decomposes idx = q*L + r and contracts via a
     # (4L x chunk) x (chunk x ceil(Be/L)) matmul — the VPU compare count per
@@ -328,9 +344,20 @@ def _e0grid_weight_grid(spec: ForwardSpec, e_zeros):
 def _e0grid_contract(spec: ForwardSpec, moments):
     """(4, F) fine-cell moments -> (M, Be) grid via the static A operator."""
     tab = spec.e0_grid_table
-    a = jnp.asarray(tab.a_matrix)                            # (4F, M*Be)
-    grid = jnp.dot(moments.reshape(-1), a, precision="highest",
-                   preferred_element_type=jnp.float32)
+    if spec.a_dtype == "bfloat16":
+        # A lives in HBM as bf16 (halved stream bytes); the convert to
+        # f32 fuses into the dot's operand read and the MOMENTS stay f32
+        # — the cubic reconstruction cancels across the four channel
+        # rows, so rounding S itself is destructive (measured 6.5% grid
+        # error vs <=1% with A-only rounding).
+        a = jnp.asarray(tab.a_matrix).astype(jnp.bfloat16)   # (4F, M*Be)
+        grid = jnp.dot(moments.reshape(-1), a.astype(jnp.float32),
+                       precision="highest",
+                       preferred_element_type=jnp.float32)
+    else:
+        a = jnp.asarray(tab.a_matrix)                        # (4F, M*Be)
+        grid = jnp.dot(moments.reshape(-1), a, precision="highest",
+                       preferred_element_type=jnp.float32)
     return grid.reshape(tab.n_x, tab.n_ed)
 
 

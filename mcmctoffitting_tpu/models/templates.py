@@ -80,15 +80,19 @@ def generate_templates(key, spec: ForwardSpec, *, n_runs: int = 4):
     standoffs = [spec.geometry.standoff(n) for n in RUN_LAYOUT[:n_runs]]
     windows = [tof_windows[n] for n in RUN_LAYOUT[:n_runs]]
     out = []
+    # e_lo/e_hi are pure VALUES in template_spectrum (uniform bounds +
+    # the effective-energy base), so they trace: ONE compile per run
+    # window instead of one per (run, slice) — 4 programs, not 128
+    # (material under remote-compile transports).
     fn = jax.jit(template_spectrum,
-                 static_argnames=("e_lo", "e_hi", "spec", "standoff",
-                                 "window"))
+                 static_argnames=("spec", "standoff", "window"))
     for run, (standoff, window) in enumerate(zip(standoffs, windows)):
         rows = []
         for t in range(N_TEMPLATES):
             k = jax.random.fold_in(key, run * N_TEMPLATES + t)
             rows.append(np.asarray(fn(
-                k, float(TEMPLATE_BOUNDS[t]), float(TEMPLATE_BOUNDS[t + 1]),
+                k, jnp.float32(TEMPLATE_BOUNDS[t]),
+                jnp.float32(TEMPLATE_BOUNDS[t + 1]),
                 spec, standoff, window)))
         out.append(np.stack(rows))
     return out

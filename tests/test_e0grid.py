@@ -383,3 +383,38 @@ def test_fine_grid_cli_flag():
     assert simult_p().parse_args(["-fineGrid", "512"]).fineGrid == 512
     assert onebd_p().parse_args(["-fineGrid", "512"]).fineGrid == 512
     assert simult_p().parse_args([]).fineGrid == 0
+
+
+def test_bf16_a_operator_accuracy_and_flag():
+    """a_dtype='bfloat16' stores only the static A operator in bf16.
+
+    The knob exists for the oneBD -hardcore scale where A is 131 MB and
+    the half-ensemble matmul streams it HBM-bound.  Accuracy is NOT
+    ~bf16 eps: the contraction reconstructs a cubic from global
+    t-moments, cancelling across the four channel rows with condition
+    ~16 — measured median grid error ~1.6%, max ~6% of the dominant
+    scale (this test pins those bounds).  Below the hardcore counts
+    path's ~9% per-cell Poisson noise, but systematic — the default
+    stays f32 everywhere pending a posterior A/B (RESULTS_r5.md).
+    """
+    import dataclasses
+
+    from mcmctoffitting_tpu.models.forward import grid_and_mean
+
+    spec32 = simult.default_spec(n_samples=10_000, sampling="expected")
+    spec16 = dataclasses.replace(spec32, a_dtype="bfloat16")
+    theta = np.array([1878.4, 850.0, 170.0, 0.5], np.float32)
+    g32, _ = jax.jit(lambda p: grid_and_mean(spec32, p, None))(theta)
+    g16, _ = jax.jit(lambda p: grid_and_mean(spec16, p, None))(theta)
+    g32, g16 = np.asarray(g32), np.asarray(g16)
+    assert np.all(np.isfinite(g16))
+    scale = np.abs(g32).max()
+    # condition ~16 x bf16 eps: measured 6.3% max / 1.6% median
+    assert np.abs(g16 - g32).max() <= 8e-2 * scale
+    rel = np.abs(g16 - g32)[g32 > 1e-3 * scale] / g32[g32 > 1e-3 * scale]
+    assert np.median(rel) < 3e-2
+
+    from mcmctoffitting_tpu.cli.csi_onebd import build_parser as onebd_p
+    from mcmctoffitting_tpu.cli.simult_fit import build_parser as simult_p
+    assert simult_p().parse_args(["-aDtype", "bfloat16"]).aDtype == "bfloat16"
+    assert onebd_p().parse_args([]).aDtype == "float32"

@@ -70,8 +70,13 @@ def _seed_from_base():
 N_RUNS = int(os.environ.get("PARITY_RUNS", "4"))
 N_DRAWS = int(os.environ.get("PARITY_DRAWS", "10000"))
 N_WALKERS = 18
-N_BURNIN = 60
-N_MAIN = 200
+# Step-count overrides: the reference side costs ~1.5 s/eval/2-runs at
+# 50k draws on this host's single core, so the 4-run joint study trims
+# the phase lengths to keep its reference chain to ~2 h (18 walkers x
+# 160 steps still gives ~1600 retained samples after report()'s
+# N_MAIN//4 discard).
+N_BURNIN = int(os.environ.get("PARITY_BURNIN", "60"))
+N_MAIN = int(os.environ.get("PARITY_MAIN", "200"))
 # Norms 10x below the flagship default: the reference's idiosyncratic
 # likelihood has pseudo-marginal logp noise that grows with the observed
 # count scale (measured sigma ~ 7e4 at 5e4 norms, ~5e3 at 5e3 norms,

@@ -60,15 +60,19 @@ def main():
     run_axis = _arg("--run-axis", "", str)
     if run_axis:
         label += f"+{run_axis}"
+    a_dtype = _arg("--a-dtype", "float32", str)
+    if a_dtype != "float32":
+        label += f"+a{a_dtype}"
 
     spec = onebd.default_spec(n_samples=n_draws, hardcore=hardcore,
                               xs_mode=xs_mode, sampling=sampling)
-    if closure != "exact" or tof_radix or run_axis:
+    if closure != "exact" or tof_radix or run_axis or a_dtype != "float32":
         import dataclasses
         spec = dataclasses.replace(
             spec, moment_closure=closure,
             tof_hist_radix=tof_radix or spec.tof_hist_radix,
-            run_axis=run_axis or spec.run_axis)
+            run_axis=run_axis or spec.run_axis,
+            a_dtype=a_dtype)
     if "--fine" in sys.argv or "--hchunk" in sys.argv:
         import dataclasses
         from mcmctoffitting_tpu.ops.e0grid import cached_e0_grid_table
