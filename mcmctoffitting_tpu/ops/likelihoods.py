@@ -109,14 +109,27 @@ def poisson_logpmf_loglike(model_counts, observed_counts):
 def template_gaussian_loglike(model_tof, observed):
     """Wide-Gaussian template likelihood (``tests/devShapeTemplates.py:272-294``).
 
-    After clamping zero bins to 1:
+    After clamping sub-count bins to 1:
         logN(model | obs, 0.07 obs) + logN(obs | model, 0.15 model), summed.
     Non-finite model spectra give -inf.
+
+    Clamp semantics: the reference clamps ``== 0`` bins.  Its inputs are
+    integer-count template histograms, where every sub-count tail bin IS
+    exactly zero — so on its own data the reference effectively clamps
+    everything below one count.  This package's templates are exact
+    beam-convolved densities whose window tails carry an infinitesimal
+    smear (1e-5-count bins the reference pipeline can never produce);
+    under a literal ``== 0`` clamp one such bin against a clamped
+    empty observation contributes (1/(0.15 * 1e-5))^2 / 2 ~ 1e9 to the
+    chi-square and the posterior collapses onto the tail bins (measured:
+    the template closure pinned scale4 at its box edge).  Clamping
+    ``model < 1`` reproduces the reference's effective behavior on the
+    integer-count inputs it was written for.
     """
     model = jnp.asarray(model_tof)
     obs = jnp.asarray(observed)
     obs_c = jnp.where(obs == 0, 1.0, obs)
-    model_c = jnp.where(model == 0, 1.0, model)
+    model_c = jnp.where(model < 1.0, 1.0, model)
 
     def norm_logpdf(x, mu, sigma):
         return (-0.5 * jnp.log(2.0 * jnp.pi * sigma ** 2)

@@ -90,8 +90,10 @@ def test_poisson_logpmf_correct_form():
 
 
 def test_template_gaussian_matches_reference_form():
+    # integer-count model bins (the reference's own input class): the
+    # sub-count clamp is invisible here and the form matches bin-by-bin
     rng = np.random.default_rng(9)
-    model = rng.uniform(0, 1000, 25)
+    model = np.rint(rng.uniform(0, 1000, 25))
     obs = rng.poisson(500, 25).astype(np.float64)
     obs[2] = 0
     model[5] = 0
@@ -101,6 +103,20 @@ def test_template_gaussian_matches_reference_form():
             + norm.logpdf(obs_c, model_c, model_c * 0.15)).sum()
     got = float(template_gaussian_loglike(model, obs))
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_template_gaussian_subcount_clamp():
+    """A density-smear tail bin (1e-5 counts) against an empty observed
+    bin must cost the same as an exactly-zero one — not ~1e9 chi-square
+    (the reference's integer-count inputs never exercise this class;
+    see the docstring)."""
+    model = np.array([500.0, 1e-5])
+    obs = np.array([480.0, 0.0])
+    model_zero = np.array([500.0, 0.0])
+    got = float(template_gaussian_loglike(model, obs))
+    want = float(template_gaussian_loglike(model_zero, obs))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    assert got > -100.0
 
 
 def test_template_gaussian_nonfinite_model():

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mcmctoffitting_tpu.config import Binning
 from mcmctoffitting_tpu.constants import TUNL_SSA_CSI
@@ -140,3 +141,65 @@ def test_template_fit_cli_writes_unfolded_spectrum(tmp_path, monkeypatch):
     png = tmp_path / "tf_unfolded_spectrum.png"
     assert png.exists() and os.path.getsize(png) > 5_000
     assert (tmp_path / "tf_trace.png").exists()
+
+
+@pytest.mark.slow
+def test_template_closure_nuts_recovers_truth():
+    """35-dim statistical closure at reduced scale (the committed
+    production artifact is tools/template_closure.py -> artifacts/
+    template_closure_*): synthesize observed spectra from known
+    coefficients with the likelihood's OWN noise law (7%/15% relative
+    Gaussian; Poisson counts are ~45x overdispersed vs the assumed
+    error in low-count bins and measure likelihood misspecification,
+    not the sampler), fit with NUTS in box-logit coordinates, and
+    require the recovered quantiles to bracket truth.
+
+    Reference endpoint: tests/devShapeTemplates.py:554-631 (500-walker
+    emcee unfolding; its ensemble acceptance collapses to ~0.05 on this
+    posterior — the gradient sampler is the production answer here).
+    """
+    import jax.numpy as jnp
+
+    from mcmctoffitting_tpu.sampler.nuts import nuts_sample
+    from mcmctoffitting_tpu.sampler.transforms import BoxLogitTransform
+
+    spec = T.default_spec(n_samples=3000)
+    problem = T.TemplateFitProblem(n_runs=4)
+    templates = T.generate_templates(jax.random.PRNGKey(0), spec)
+
+    true_coeffs = problem.initial_guess_model()
+    true_scales = [1.0, 1.1, 0.6, 1.5]
+    rng = np.random.default_rng(7)
+    sigma_rel = (0.07 ** -2 + 0.15 ** -2) ** -0.5
+    observed = []
+    for r in range(4):
+        model = np.asarray(T.build_model_tof(true_scales[r], true_coeffs,
+                                             templates[r]))
+        noisy = model * (1 + sigma_rel * rng.standard_normal(model.shape))
+        observed.append(np.where(model >= 1.0, np.maximum(noisy, 0.0), 0.0))
+
+    logp = problem.make_log_prob_fn(observed, templates)
+    lo = np.concatenate([[l0 for (l0, _) in T.SCALE_LIMS],
+                         np.zeros(T.N_TEMPLATES)])
+    hi = np.concatenate([[h0 for (_, h0) in T.SCALE_LIMS],
+                         np.full(T.N_TEMPLATES, T.COEFF_LIM[1])])
+    tr = BoxLogitTransform(jnp.asarray(lo, jnp.float32),
+                           jnp.asarray(hi, jnp.float32))
+    guess = np.concatenate([[1.1, 0.6, 1.5], true_coeffs])
+    u = rng.uniform(0.9, 1.1, (2, problem.n_dim))
+    p0 = jnp.asarray(np.clip(guess * u, lo + 1e-6, hi - 1e-6), jnp.float32)
+    chain = nuts_sample(jax.random.PRNGKey(5), tr.to_u(p0), 400,
+                        tr.wrap_logp(lambda th: logp(th, None)),
+                        n_warmup=150, max_depth=8)
+    samples = np.asarray(tr.to_theta(chain.positions)).reshape(
+        -1, problem.n_dim)
+
+    truth = np.concatenate([true_scales[1:], true_coeffs])
+    q = np.percentile(samples, [1, 16, 50, 84, 99], axis=0)
+    sig = np.maximum(0.5 * (q[3] - q[1]), 1e-12)
+    in98 = (truth >= q[0]) & (truth <= q[4])
+    z = (q[2] - truth) / sig
+    # 35 params at 98%: expect ~34.3 inside; the reduced scale earns a
+    # little slack (production artifact: 34-35/35)
+    assert int(in98.sum()) >= 31
+    assert int((np.abs(z) < 4.0).sum()) >= 32
