@@ -23,11 +23,20 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 # 256 = the reference flagship default; BENCH_WALKERS sweeps ensemble size
-# (the chip is far from saturated at 256 in counts mode — see RESULTS_r3)
 N_WALKERS = int(os.environ.get("BENCH_WALKERS", "256"))
 N_RUNS = 4
 N_DRAWS = 200_000
-N_STEPS_MEASURE = 10
+# Segment length for the timed program.  MUST be long enough to amortize
+# the transport's per-dispatch round trip: on the axon tunnel one
+# compiled-call round trip is ~26 ms, so a 10-step segment at 256
+# walkers (11 ms device time at the measured 1.1 ms/step) reported ~69k
+# walker-steps/s for a program the chip runs at ~220k — the entire
+# round-1..4 "256-walker overhead gap" (74k headline vs 142k at 2048
+# walkers) was this measurement artifact, not program overhead; the
+# bench's own full_fit_wall_s (0.51 s for 500 steps = 251k effective)
+# had the true rate all along (RESULTS_r5.md).  Production runs
+# 100+-step checkpoint segments, so amortized timing is what users get.
+N_STEPS_MEASURE = int(os.environ.get("BENCH_SEGMENT_STEPS", "200"))
 # lnprob evals per vmap block (memory cap); overridable for chunk sweeps.
 # Per-mode defaults: the per-sample mc path holds O(n_samples) intermediates
 # per walker and needs the cap (64 measured best on v5e: 667.6 vs 643.1
@@ -154,18 +163,28 @@ def _setup(sampling: str):
     return spec, logp_batch, state, len(devices)
 
 
+def _segment_steps(sampling: str) -> int:
+    """mc's per-sample segment already runs ~1.4 s of device time at 10
+    steps (relay-RTT bias < 2%), and a 200-step mc segment would be one
+    ~29 s dispatch — past the remote transport's dispatch-deadline
+    comfort zone.  The fast estimators need the long segment (see
+    N_STEPS_MEASURE note)."""
+    return N_STEPS_MEASURE if sampling in ("counts", "expected") else 10
+
+
 def measure_tpu(sampling: str = "counts") -> tuple[float, float, int]:
     import jax
 
     from mcmctoffitting_tpu.sampler import run_mcmc
 
     spec, logp_batch, state, n_devices = _setup(sampling)
+    n_steps = _segment_steps(sampling)
 
     # one jitted program for the whole measurement segment; lower+compile
     # explicitly so the FLOP count (for MFU) comes from the exact program
     # being timed
     def segment(s):
-        chain = run_mcmc(s, N_STEPS_MEASURE, logp_batch,
+        chain = run_mcmc(s, n_steps, logp_batch,
                          move=MOVE or "stretch")
         return chain.positions, chain.state  # pytree outputs only
 
@@ -173,7 +192,7 @@ def measure_tpu(sampling: str = "counts") -> tuple[float, float, int]:
     _log("bench: compiling the segment program")
     compiled = run.lower(state).compile()
     flops = analytic_flops_per_walker_step(spec, N_RUNS) \
-        * N_STEPS_MEASURE * N_WALKERS
+        * n_steps * N_WALKERS
 
     _log("bench: warm-up segment")
     positions, state = compiled(state)
@@ -186,16 +205,16 @@ def measure_tpu(sampling: str = "counts") -> tuple[float, float, int]:
         positions, state = compiled(state)
         jax.block_until_ready(positions)
         dt = time.perf_counter() - t0
-        _log(f"bench: segment {rep}: {N_STEPS_MEASURE} steps in {dt:.2f}s")
+        _log(f"bench: segment {rep}: {n_steps} steps in {dt:.2f}s")
         best_dt = min(best_dt, dt)
 
     # v5e peak: 197 TFLOP/s bf16 (394 int8); f32 work on the MXU runs at a
     # fraction of that, so bf16 peak is the conservative denominator
     mfu = flops / best_dt / 197e12
-    _log(f"bench: {flops / 1e12:.2f} TFLOP per {N_STEPS_MEASURE}-step "
+    _log(f"bench: {flops / 1e12:.2f} TFLOP per {n_steps}-step "
          f"segment (analytic) -> {flops / best_dt / 1e12:.2f} TFLOP/s "
          f"({100 * mfu:.2f}% of v5e bf16 peak)")
-    return N_STEPS_MEASURE * N_WALKERS / best_dt, mfu, n_devices
+    return n_steps * N_WALKERS / best_dt, mfu, n_devices
 
 
 def measure_full_fit(sampling: str) -> dict:

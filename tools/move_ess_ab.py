@@ -55,7 +55,23 @@ def main() -> int:
         integrated_autocorr_time
 
     spec = simult.default_spec(n_samples=n_draws, sampling="counts")
-    problem = simult.SimultFitProblem(spec, n_runs=4)
+    # production run-axis policy (cli/_driver.resolve_run_axis): batched
+    # at <= 512 walkers/device
+    import dataclasses
+
+    from mcmctoffitting_tpu.cli._driver import RUN_AXIS_CROSSOVER_WALKERS
+    axis = ("batched" if n_walkers <= RUN_AXIS_CROSSOVER_WALKERS
+            else "sequential")
+    spec = dataclasses.replace(spec, run_axis=axis)
+    # ESS/s is measured on the CORRECTED Poisson likelihood: under the
+    # faithful sawtooth the ensemble's acceptance decays to zero as it
+    # tightens (the int()-gammaln pseudo-noise, RESULTS_r2.md), so tau
+    # grows without bound and no move family has a stationary ESS there
+    # (measured: acc 0.00 after 13k steps, tau still climbing).  The
+    # poisson chain is stationary and is the recommended production
+    # config (-likelihood poisson).
+    problem = simult.SimultFitProblem(spec, n_runs=4,
+                                      likelihood="poisson")
     key = jax.random.PRNGKey(0)
     truth = np.concatenate([simult.GUESS_SHARED, np.full(4, 5.0e4)])
     synth_key = jax.random.key(0, impl="threefry2x32")
