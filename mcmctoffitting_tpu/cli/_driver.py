@@ -65,6 +65,8 @@ def posterior_fingerprint(problem, observed) -> np.ndarray:
     h.update(problem.spec.e0_mean_mode.encode())
     # the moment closure reshapes the closed-form/counts forward grid
     h.update(problem.spec.moment_closure.encode())
+    # the A-operator dtype perturbs the grid (bf16 hardcore preset)
+    h.update(problem.spec.a_dtype.encode())
     h.update(getattr(problem, "likelihood", "reference").encode())
     # forward binnings (a -hardcore checkpoint resumed without -hardcore
     # has identical windows/observed but a different forward grid)
@@ -506,11 +508,16 @@ def add_common_flags(p, refs: dict) -> None:
                    help="chain-length multiple of the integrated "
                         "autocorrelation time required by -convergeMain")
     p.add_argument("-move", choices=["stretch", "de", "mixed"],
-                   default="stretch",
-                   help="ensemble proposal: emcee's stretch (default, "
-                        "reference-faithful), differential evolution, or "
-                        "an alternating mix (better ridge mixing: 1.6x / "
-                        "2.9x the min-ESS per step on the two flagships)")
+                   default="de",
+                   help="ensemble proposal.  Default 'de' (ter Braak "
+                        "DE-MC): measured tau_max 39.4 vs stretch's "
+                        "126.6 at equal per-step device cost on the "
+                        "corrected-likelihood flagship -> 3.2x the ESS "
+                        "per step (artifacts/move_ess_ab.json), and "
+                        "still >= stretch under the faithful sawtooth "
+                        "(tau 394 vs 463).  '-move stretch' restores "
+                        "emcee-verbatim proposal semantics (the library "
+                        "API default, sampler/stretch.py)")
     p.add_argument("-resume", default="", type=str,
                    help="resume the MAIN phase from a .ckpt.npz checkpoint "
                         "(skips burn-in; exact continuation incl. PRNG)")
@@ -579,15 +586,17 @@ def add_common_flags(p, refs: dict) -> None:
                         "and the halved counts grids pass posterior A/B "
                         "at |dz| <= 0.12 (RESULTS_r3.md)")
     p.add_argument("-aDtype", choices=["float32", "bfloat16"],
-                   default="float32",
+                   default=None,
                    help="dtype of the static e0grid A operator "
                         "(models/forward._e0grid_contract).  bfloat16 "
                         "halves the HBM bytes of the contraction — only "
                         "material at the oneBD -hardcore scale, where A "
                         "is 131 MB and the half-ensemble matmul streams "
-                        "it bandwidth-bound; grid error ~bf16 eps, far "
-                        "below the counts estimator's Poisson noise "
-                        "(RESULTS_r5.md A/B)")
+                        "it bandwidth-bound.  Default: per-preset "
+                        "(bfloat16 for -hardcore counts, +36% measured, "
+                        "posterior A/B worst |dz| = 0.22 — artifacts/"
+                        "hardcore_a_dtype_ab.json; float32 elsewhere); "
+                        "pass float32 to force the exact contraction")
     p.add_argument("-nThreads", default=0, type=int,
                    help="accepted for surface parity and ignored: walker "
                         "parallelism is a device-mesh array axis here, not "

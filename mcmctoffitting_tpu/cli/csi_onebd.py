@@ -85,9 +85,9 @@ def main(argv=None) -> dict:
         sampling=sampling)
     if args.deterministicBG:
         spec = dataclasses.replace(spec, bg_mode="expected")
-    if args.momentClosure != "exact" or args.aDtype != "float32":
+    if args.momentClosure != "exact" or args.aDtype:
         spec = dataclasses.replace(spec, moment_closure=args.momentClosure,
-                                   a_dtype=args.aDtype)
+                                   a_dtype=args.aDtype or spec.a_dtype)
     from ._driver import resolve_run_axis
     spec = resolve_run_axis(args, spec, n_walkers)
     if args.sampler != "ensemble":

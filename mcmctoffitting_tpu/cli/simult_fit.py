@@ -62,10 +62,10 @@ def main(argv=None) -> dict:
         fine_grid=fine_grid,
         xs_mode="e0grid" if sampling != "mc" else args.gridMode,
         sampling=sampling)
-    if args.momentClosure != "exact" or args.aDtype != "float32":
+    if args.momentClosure != "exact" or args.aDtype:
         import dataclasses
         spec = dataclasses.replace(spec, moment_closure=args.momentClosure,
-                                   a_dtype=args.aDtype)
+                                   a_dtype=args.aDtype or spec.a_dtype)
     from ._driver import resolve_run_axis
     spec = resolve_run_axis(args, spec, n_walkers)
     if args.sampler != "ensemble":

@@ -105,6 +105,15 @@ def default_spec(n_samples: int = 200_000, *,
         # has 100 (default) / 400 (-hardcore) eD bins vs simult's 50, so the
         # chunk is half/eighth to keep the same peak footprint
         histogram_chunk=512 if hardcore else 2048,
+        # hardcore counts: the (4F=4096, M*Be=8000) = 131 MB A operator
+        # makes the contraction HBM-bound at half-ensemble widths; bf16
+        # storage measured +36% end-to-end (82,103 -> 111,809
+        # walker-steps/s) and the full-fit posterior A/B passed at worst
+        # |dz| = 0.22 (artifacts/hardcore_a_dtype_ab.json).  -aDtype
+        # float32 restores exact contraction; non-hardcore shapes keep
+        # f32 (A is ~4-16 MB there, the cast buys nothing).
+        a_dtype=("bfloat16" if hardcore and sampling == "counts"
+                 else "float32"),
         xs_mode=xs_mode,
         e0_grid_table=e0_grid_table,
         e0_grid_fine=e0_grid_fine,

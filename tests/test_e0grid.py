@@ -417,4 +417,14 @@ def test_bf16_a_operator_accuracy_and_flag():
     from mcmctoffitting_tpu.cli.csi_onebd import build_parser as onebd_p
     from mcmctoffitting_tpu.cli.simult_fit import build_parser as simult_p
     assert simult_p().parse_args(["-aDtype", "bfloat16"]).aDtype == "bfloat16"
-    assert onebd_p().parse_args([]).aDtype == "float32"
+    # None sentinel: unset keeps the per-preset default (bf16 for the
+    # hardcore counts preset, f32 everywhere else)
+    assert onebd_p().parse_args([]).aDtype is None
+    import dataclasses as _dc  # noqa: F401
+    from mcmctoffitting_tpu.models import onebd as _onebd
+    assert _onebd.default_spec(n_samples=1000, hardcore=True,
+                               sampling="counts").a_dtype == "bfloat16"
+    assert _onebd.default_spec(n_samples=1000,
+                               sampling="counts").a_dtype == "float32"
+    assert _onebd.default_spec(n_samples=1000, hardcore=True,
+                               sampling="mc").a_dtype == "float32"

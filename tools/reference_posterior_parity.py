@@ -311,6 +311,34 @@ def run_reference():
     print(f"reference done in {time.time() - t0:.0f}s, acc={acc:.2f}")
 
 
+def run_reference_extend():
+    """Continue the stored reference chain by PARITY_EXTEND more steps.
+
+    The 4-run joint posterior is tighter than the 2-run study's (ref
+    acc 0.19 vs 0.40), so the trimmed 120-step main chain left the
+    reference ensemble visibly under-decorrelated (beamE ref sigma
+    0.687 vs ours 7.35 — a frozen-ensemble artifact).  RNG state is not
+    stored; a fresh seeded generator is statistically equivalent for
+    chain continuation."""
+    n_extend = int(os.environ.get("PARITY_EXTEND", "60"))
+    observed = _load_observed()
+    ref = _load_reference_modules()
+    lnprob = make_reference_lnprob(ref, observed)
+    d = np.load(os.path.join(OUT, "reference_chain.npz"))
+    chain, lps = d["chain"], d["lps"]
+    rng = np.random.default_rng(1007 + chain.shape[0])
+    t0 = time.time()
+    ext, elps, acc = numpy_stretch_sampler(rng, lnprob, chain[-1], n_extend,
+                                           label="ref extend: ",
+                                           lp0=lps[-1])
+    np.savez(os.path.join(OUT, "reference_chain.npz"),
+             chain=np.concatenate([chain, ext]),
+             lps=np.concatenate([lps, elps]), acc=acc,
+             elapsed=float(d["elapsed"]) + time.time() - t0)
+    print(f"reference extended to {chain.shape[0] + n_extend} steps "
+          f"in {time.time() - t0:.0f}s, acc={acc:.2f}")
+
+
 def run_ours():
     _seed_from_base()
     observed = _load_observed()
@@ -347,21 +375,47 @@ def run_ours():
           f"acc={float(chain.acceptance_fraction.mean()):.2f}")
 
 
+def _median_se(walker_chain):
+    """Standard error of the median of an autocorrelated ensemble chain.
+
+    walker_chain: (S, W) one parameter.  ESS = S * W / tau with tau the
+    ensemble-mean integrated autocorrelation time (the package's own
+    estimator); SE(median) ~ 1.2533 * sigma / sqrt(ESS) (the asymptotic
+    normal-median factor).  This is what makes the finite-chain
+    comparison fair: a frozen ensemble (tiny sigma, huge tau) gets a
+    LARGE median SE instead of feigning precision."""
+    sys.path.insert(0, REPO)
+    from mcmctoffitting_tpu.utils.diagnostics import \
+        integrated_autocorr_time
+    s, w = walker_chain.shape
+    tau = float(integrated_autocorr_time(
+        walker_chain[:, :, None]).max())
+    ess = s * w / max(tau, 1.0)
+    q = np.percentile(walker_chain.reshape(-1), [16, 84])
+    sigma = 0.5 * (q[1] - q[0])
+    return 1.2533 * sigma / np.sqrt(max(ess, 1.0)), ess
+
+
 def report():
     ref = np.load(os.path.join(OUT, "reference_chain.npz"))
     ours = np.load(os.path.join(OUT, "ours_chain.npz"))
+    n_main_ref = ref["chain"].shape[0]
     lines = [f"Posterior parity [{LIKELIHOOD}, ours={SAMPLING}], "
              f"{N_RUNS} runs x "
-             f"{N_WALKERS} walkers x {N_MAIN} main steps, shared data",
+             f"{N_WALKERS} walkers x {n_main_ref} main steps, shared data",
              f"reference: {float(ref['elapsed']):.0f}s "
              f"acc={float(ref['acc']):.2f} | ours: "
              f"{float(ours['elapsed']):.0f}s acc={float(ours['acc']):.2f}",
              f"{'param':>6} {'ref med':>11} {'ref sig':>9} "
-             f"{'ours med':>11} {'ours sig':>9} {'dz':>6}"]
+             f"{'ours med':>11} {'ours sig':>9} {'dz':>6} {'z_se':>6}"]
     burn = N_MAIN // 4
-    rflat = ref["chain"][burn:].reshape(-1, 4 + N_RUNS)
-    oflat = ours["chain"][burn:].reshape(-1, 4 + N_RUNS)
+    rch = ref["chain"][burn:]
+    och = ours["chain"][burn:]
+    rflat = rch.reshape(-1, 4 + N_RUNS)
+    oflat = och.reshape(-1, 4 + N_RUNS)
     worst = 0.0
+    worst_se = 0.0
+    ess_min = np.inf
     for d, name in enumerate(PARAM_NAMES[: 4 + N_RUNS]):
         rq = np.percentile(rflat[:, d], [16, 50, 84])
         oq = np.percentile(oflat[:, d], [16, 50, 84])
@@ -370,23 +424,40 @@ def report():
         pooled = np.sqrt(0.5 * (rs ** 2 + os_ ** 2))
         dz = (oq[1] - rq[1]) / pooled if pooled > 0 else np.inf
         worst = max(worst, abs(dz))
+        # finite-chain-aware statistic: medians differ by how many of
+        # their own standard errors (tau-corrected on both sides)
+        se_r, ess_r = _median_se(rch[:, :, d])
+        se_o, ess_o = _median_se(och[:, :, d])
+        ess_min = min(ess_min, ess_r, ess_o)
+        z_se = (oq[1] - rq[1]) / np.sqrt(se_r ** 2 + se_o ** 2)
+        worst_se = max(worst_se, abs(z_se))
         lines.append(f"{name:>6} {rq[1]:11.4g} {rs:9.3g} "
-                     f"{oq[1]:11.4g} {os_:9.3g} {dz:6.2f}")
+                     f"{oq[1]:11.4g} {os_:9.3g} {dz:6.2f} {z_se:6.2f}")
     verdict = "PASS" if worst < 1.0 else "REVIEW"
+    verdict_se = "PASS" if worst_se < 3.0 else "REVIEW"
     lines.append(f"worst |dz| = {worst:.2f} "
                  "(medians in pooled posterior-sigma units) -> "
                  f"{verdict} (advisory threshold 1.0; under the faithful "
                  "sawtooth likelihood the frozen-ensemble sigmas make dz "
                  "overly strict — see RESULTS_r2.md)")
+    lines.append(f"worst |z_se| = {worst_se:.2f} "
+                 f"(median-difference / tau-corrected median SEs; "
+                 f"min per-param ESS {ess_min:.0f}) -> {verdict_se} "
+                 "(threshold 3.0: the location test that stays "
+                 "calibrated when either finite chain is "
+                 "under-decorrelated)")
     text = "\n".join(lines)
     print(text)
     with open(os.path.join(OUT, "report.txt"), "w") as f:
         f.write(text + "\n")
     with open(os.path.join(OUT, "summary.json"), "w") as f:
-        json.dump({"worst_dz": worst, "sampling": SAMPLING}, f)
+        json.dump({"worst_dz": worst, "worst_z_se": worst_se,
+                   "min_ess": float(ess_min), "main_steps": int(n_main_ref),
+                   "sampling": SAMPLING}, f)
 
 
 if __name__ == "__main__":
     phase = sys.argv[1] if len(sys.argv) > 1 else "report"
-    {"prepare": prepare, "reference": run_reference, "ours": run_ours,
+    {"prepare": prepare, "reference": run_reference,
+     "reference-extend": run_reference_extend, "ours": run_ours,
      "report": report}[phase]()
