@@ -63,9 +63,11 @@ PRNG = os.environ.get("BENCH_PRNG", "")
 # within-cell moment closure A/B ('exact' default | 'cell' = 2-row ndtr
 # chain + analytic h^2/12 closure; ForwardSpec.moment_closure)
 CLOSURE = os.environ.get("BENCH_CLOSURE", "")
-# ensemble proposal A/B ('stretch' default | 'de' | 'mixed'); 'mixed' is
-# 1.60x min-ESS per step on this posterior (RESULTS_r3.md), so its
-# walker-steps/s should multiply, not trade, science throughput
+# ensemble proposal A/B ('de' default | 'stretch' | 'mixed').  'de' is
+# the CLI default since r5: tau_max 39.4 vs stretch's 126.6 at equal
+# per-step device cost on the corrected-likelihood flagship (3.2x ESS
+# per step, artifacts/move_ess_ab.json); per-step rate is move-
+# insensitive (+-3% measured), so the headline stays comparable
 MOVE = os.environ.get("BENCH_MOVE", "")
 
 
@@ -73,7 +75,7 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _setup(sampling: str):
+def _setup(sampling: str, likelihood: str | None = None):
     """Shared problem/evaluator/initial-state construction (all knobs)."""
     import jax
     import numpy as np
@@ -134,7 +136,10 @@ def _setup(sampling: str):
             spec, e0_grid_fine=fine,
             e0_grid_table=cached_e0_grid_table(
                 spec.stopping_table, spec.ed_binning, ddn_xs_uniform, fine))
-    problem = simult.SimultFitProblem(spec, n_runs=N_RUNS)
+    problem = (simult.SimultFitProblem(spec, n_runs=N_RUNS,
+                                       likelihood=likelihood)
+               if likelihood else
+               simult.SimultFitProblem(spec, n_runs=N_RUNS))
     key = jax.random.PRNGKey(0)
     truth = np.concatenate([simult.GUESS_SHARED, np.full(N_RUNS, 5.0e4)])
     # observed-data synthesis needs jax.random.poisson (threefry-only);
@@ -185,7 +190,7 @@ def measure_tpu(sampling: str = "counts") -> tuple[float, float, int]:
     # being timed
     def segment(s):
         chain = run_mcmc(s, n_steps, logp_batch,
-                         move=MOVE or "stretch")
+                         move=MOVE or "de")
         return chain.positions, chain.state  # pytree outputs only
 
     run = jax.jit(segment)
@@ -223,17 +228,21 @@ def measure_full_fit(sampling: str) -> dict:
     * ``full_fit_wall_s``: warm wall clock of the reference-default FULL
       fit — 400 burn-in + 100 main steps at the flagship workload — run
       as 100-step scan segments (one compiled program, production shape).
-    * ``ess_per_sec`` / ``ess_tau_max_steps`` / ``ess_s_over_tau``: the
-      chain is continued past the fit in 100-step segments UNTIL the
-      accumulated sample count satisfies S >= 20 * tau_max(S) (the
-      autocorrelation estimator is only trustworthy at S >> tau; the
-      round-4 artifact's S/tau ~ 1.3-3 numbers were close to
-      meaningless) or a wall-clock cap is hit (BENCH_TAU_WALL_S, default
-      900 s — the mc estimator at ~7 steps/s needs ~20 min for the
-      measured tau_max ~ 500).  ESS/s = W * S / (tau_max * wall), and
-      the achieved S/tau lands in the JSON so the reader can judge the
-      estimate's quality; if the cap cut the measurement short,
-      ``ess_converged`` records false.
+    * ``ess_per_sec`` / ``ess_tau_max_steps`` / ``ess_s_over_tau``: a
+      SEPARATE chain under the corrected Poisson likelihood
+      (``ess_likelihood`` in the JSON) is equilibrated 400 steps and
+      continued in 100-step segments UNTIL the accumulated sample count
+      satisfies S >= 20 * tau_max(S) (the autocorrelation estimator is
+      only trustworthy at S >> tau) or a wall-clock cap is hit
+      (BENCH_TAU_WALL_S, default 900 s).  The corrected likelihood is
+      the only flagship chain with a STATIONARY ESS: under the faithful
+      sawtooth the ensemble's acceptance decays toward zero as it
+      tightens and tau grows linearly with S (measured S/tau pinned at
+      ~9.7 from 2k to 17k steps — r5) — there is no number to converge
+      to, which is also why the move-family A/B runs on the corrected
+      chain (tools/move_ess_ab.py).  ESS/s = W * S / (tau_max * wall),
+      with the achieved S/tau in the JSON; ``ess_converged`` records a
+      cap-limited estimate.
     """
     import jax
     import numpy as np
@@ -245,7 +254,7 @@ def measure_full_fit(sampling: str) -> dict:
     _, logp_batch, state, _ = _setup(sampling)
 
     def segment(s):
-        return run_mcmc(s, 100, logp_batch, move=MOVE or "stretch")
+        return run_mcmc(s, 100, logp_batch, move=MOVE or "de")
 
     _log(f"bench[{sampling}]: compiling the 100-step full-fit segment")
     compiled = jax.jit(segment).lower(state).compile()
@@ -261,16 +270,27 @@ def measure_full_fit(sampling: str) -> dict:
     _log(f"bench[{sampling}]: warm 400+100 full fit in "
          f"{full_fit_wall:.2f}s")
 
-    # mixing continuation from the equilibrated state: run until the
-    # tau estimate is self-consistently converged (S >= 20 tau) or the
-    # wall cap is hit
+    # mixing continuation on the corrected-likelihood chain (the only
+    # stationary one — see docstring): equilibrate 400 steps, then run
+    # until the tau estimate is self-consistently converged
+    # (S >= 20 tau) or the wall cap is hit
+    _, logp_batch_p, state_p, _ = _setup(sampling, likelihood="poisson")
+
+    def segment_p(s):
+        return run_mcmc(s, 100, logp_batch_p, move=MOVE or "de")
+
+    compiled_p = jax.jit(segment_p).lower(state_p).compile()
+    st = state_p
+    for _ in range(4):
+        st = compiled_p(st).state
+    jax.block_until_ready(st.positions)
     wall_cap = float(os.environ.get("BENCH_TAU_WALL_S", "900"))
     t0 = time.perf_counter()
-    st, hist = main.state, []
+    hist = []
     tau_max, s_tau, converged = float("inf"), 0, False
     while True:
         for _ in range(4):            # 400 steps between tau checks
-            ch = compiled(st)
+            ch = compiled_p(st)
             hist.append(ch.positions)
             st = ch.state
         jax.block_until_ready(st.positions)
@@ -292,7 +312,8 @@ def measure_full_fit(sampling: str) -> dict:
             "ess_per_sec": round(ess_per_sec, 2),
             "ess_tau_max_steps": round(tau_max, 1),
             "ess_s_over_tau": round(s_tau / tau_max, 1),
-            "ess_converged": converged}
+            "ess_converged": converged,
+            "ess_likelihood": "poisson"}
 
 
 def analytic_flops_per_walker_step(spec, n_runs: int) -> float:
